@@ -1,0 +1,271 @@
+"""Deterministic synthetic change-stream generator (FIXTURES.md §1-2).
+
+Produces a binlog/WAL-style CDC feed over the transcript table fixed by
+BASELINE.json input_hint:
+
+    (conv_id string, turn_idx int, role string, text string,
+     tool string, ts timestamp)
+
+keyed by (conv_id, turn_idx), with injected anomalies:
+
+- out-of-order delivery (events shuffled within a ±lsn window, so arrival
+  order != commit order),
+- exact duplicates (same lsn re-delivered),
+- deletes / update-after-delete sequences,
+- one mid-stream schema change at the 60% mark: `tool_meta` column appears
+  and `turn_idx` is emitted as int64 (widening candidate).
+
+Everything is vectorized numpy/pandas and chunk-written, so generating tens
+of millions of events for the bench stays cheap. Files are offset-ordered
+(`events-00000.jsonl`, ...) so a file-based streaming source replays the
+feed deterministically — the stand-in for a binlog tail, mirroring the
+reference's "tail a source file, push records downstream" model
+(/root/reference/cmd/xgeo/main.go:44-51) without a message broker.
+
+The wire format is NDJSON — the same canonical one-JSON-document-per-line
+shape the reference emits (/root/reference/cmd/xgeo/main.go:57-61) — with
+optional .gz compression, exercising the suffix-dispatch decode path
+(/root/reference/cmd/xgeo/main.go:25-40).
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+_ROLES = np.array(["user", "assistant", "tool"])
+_TOOLS = np.array(["search", "code", "browse"])
+
+# Small deterministic sentence bank with unicode + whitespace edge cases for
+# the normalization UDF (FIXTURES.md §1 "text" notes).
+_SENTENCE_BANK_SIZE = 512
+
+
+def _sentence_bank(rng: np.random.Generator) -> np.ndarray:
+    vocab = np.array(
+        [
+            "the", "model", "replied", "with", "a", "plan", "to", "refactor",
+            "query", "engine", "spark", "shuffle", "partition", "merge",
+            "naïve", "café", "逐次", "ストリーム", "данные", "Ωmega", "tab\there",
+            "double  space", "trailing ", " leading", "emoji🙂", "quote\"q",
+        ]
+    )
+    lengths = rng.integers(4, 60, size=_SENTENCE_BANK_SIZE)
+    out = []
+    for n in lengths:
+        words = vocab[rng.integers(0, len(vocab), size=int(n))]
+        out.append(" ".join(words.tolist()))
+    return np.array(out, dtype=object)
+
+
+@dataclass
+class ChangeStreamConfig:
+    n_events: int = 10_000
+    n_convs: int = 400
+    mean_turns: float = 6.0
+    seed: int = 42
+    update_frac: float = 0.25          # of non-insert events
+    delete_frac: float = 0.05
+    out_of_order_frac: float = 0.10
+    out_of_order_window: int = 1000
+    duplicate_frac: float = 0.05
+    schema_change_at: float = 0.60     # fraction of stream where v2 starts
+    zipf_s: float = 1.2                # conv_id hot-key skew
+    n_files: int = 8
+    compression: str | None = None     # None | "gzip"
+    base_ts: str = "2026-01-01T00:00:00"
+    extra: dict = field(default_factory=dict)
+
+
+def generate_change_events(cfg: ChangeStreamConfig) -> pd.DataFrame:
+    """Return the full event feed as one pandas DataFrame in ARRIVAL order.
+
+    Columns: lsn int64, offset int64, op str, conv_id str, turn_idx int64,
+    role str, text str, tool str, ts datetime64[us], schema_version int32,
+    tool_meta str|None.
+    """
+    rng = np.random.default_rng(cfg.seed)
+    bank = _sentence_bank(rng)
+
+    # --- key universe: conv_id with Zipf popularity, turn counts ~1+Poisson ---
+    n_convs = cfg.n_convs
+    turns_per_conv = 1 + rng.poisson(cfg.mean_turns, size=n_convs)
+    conv_ids = np.array([f"conv-{i:08d}" for i in range(n_convs)], dtype=object)
+    key_conv = np.repeat(np.arange(n_convs), turns_per_conv)
+    key_turn = np.concatenate([np.arange(t) for t in turns_per_conv])
+    n_keys = len(key_conv)
+
+    # Zipf weight per conversation -> hot keys
+    ranks = np.arange(1, n_convs + 1, dtype=np.float64)
+    conv_w = 1.0 / ranks ** cfg.zipf_s
+    key_w = conv_w[key_conv]
+    key_w /= key_w.sum()
+
+    n = cfg.n_events
+    # first n_keys events insert every key once (shuffled), remainder sampled
+    n_base = min(n_keys, n)
+    base_order = rng.permutation(n_keys)[:n_base]
+    n_rest = max(0, n - n_base)
+    rest_keys = rng.choice(n_keys, size=n_rest, p=key_w)
+    key_idx = np.concatenate([base_order, rest_keys])
+
+    op = np.full(n, "U", dtype=object)
+    op[:n_base] = "I"
+    r = rng.random(n_rest)
+    op[n_base:][r < cfg.delete_frac] = "D"
+
+    lsn = np.arange(n, dtype=np.int64)  # commit order
+
+    conv = conv_ids[key_conv[key_idx]]
+    turn = key_turn[key_idx].astype(np.int64)
+    role = _ROLES[(key_turn[key_idx]) % 3]
+    is_tool = role == "tool"
+    tool = np.where(is_tool, _TOOLS[rng.integers(0, 3, size=n)], None)
+
+    # text varies per event so LWW picks are observable; suffix = lsn
+    text = pd.Series(bank[rng.integers(0, len(bank), size=n)]).str.cat(
+        pd.Series(lsn).astype(str), sep=" #"
+    ).to_numpy(dtype=object)
+    text[op == "D"] = None
+    role = np.where(op == "D", None, role)
+    tool = np.where(op == "D", None, tool)
+
+    base = np.datetime64(cfg.base_ts, "us")
+    ts = base + (lsn * 1_000_000 + rng.integers(0, 1_000_000, size=n)).astype(
+        "timedelta64[us]"
+    )
+
+    cut = int(n * cfg.schema_change_at)
+    schema_version = np.where(lsn < cut, 1, 2).astype(np.int32)
+    meta_pool = np.array(
+        ['{"latency_ms": %d, "retries": %d}' % (m, r_) for m, r_ in
+         zip(rng.integers(1, 5000, size=64), rng.integers(0, 3, size=64))],
+        dtype=object,
+    )
+    tool_meta = np.where(
+        (schema_version == 2) & is_tool & (op != "D"),
+        meta_pool[rng.integers(0, len(meta_pool), size=n)],
+        None,
+    )
+
+    df = pd.DataFrame(
+        {
+            "lsn": lsn,
+            "op": op,
+            "conv_id": conv,
+            "turn_idx": turn,
+            "role": role,
+            "text": text,
+            "tool": tool,
+            "ts": ts,
+            "schema_version": schema_version,
+            "tool_meta": tool_meta,
+        }
+    )
+
+    # --- inject exact duplicates (same lsn re-delivered) ---
+    if cfg.duplicate_frac > 0:
+        n_dup = int(n * cfg.duplicate_frac)
+        dup_rows = df.iloc[rng.integers(0, n, size=n_dup)]
+        df = pd.concat([df, dup_rows], ignore_index=True)
+
+    # --- out-of-order arrival: perturb sort key within ±window ---
+    jitter = np.zeros(len(df))
+    ooo = rng.random(len(df)) < cfg.out_of_order_frac
+    jitter[ooo] = rng.uniform(-cfg.out_of_order_window, cfg.out_of_order_window,
+                              size=int(ooo.sum()))
+    arrival_key = df["lsn"].to_numpy() + jitter
+    df = df.iloc[np.argsort(arrival_key, kind="stable")].reset_index(drop=True)
+    df["offset"] = np.arange(len(df), dtype=np.int64)
+    return df
+
+
+def _write_jsonl(part: pd.DataFrame, path: str, compression: str | None) -> None:
+    # int64 turn_idx in v2, int32-ranged in v1 is a schema concern at READ
+    # time; JSON wire format is width-agnostic which is exactly the point.
+    recs = part.copy()
+    recs["ts"] = recs["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
+    opener = gzip.open if compression == "gzip" else open
+    with opener(path, "wt", encoding="utf-8") as f:
+        for row in recs.to_dict(orient="records"):
+            if row.get("schema_version") == 1:
+                row.pop("tool_meta", None)  # column genuinely absent pre-change
+            f.write(json.dumps({k: _clean(v) for k, v in row.items()},
+                               ensure_ascii=False))
+            f.write("\n")
+
+
+def _clean(v):
+    if v is None or (isinstance(v, float) and np.isnan(v)):
+        return None
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating,)):
+        return float(v)
+    return v
+
+
+def write_change_stream(out_dir: str, cfg: ChangeStreamConfig) -> list[str]:
+    """Write the feed as offset-ordered NDJSON files; return the file paths."""
+    os.makedirs(out_dir, exist_ok=True)
+    df = generate_change_events(cfg)
+    paths = []
+    splits = np.array_split(np.arange(len(df)), cfg.n_files)
+    ext = ".jsonl.gz" if cfg.compression == "gzip" else ".jsonl"
+    for i, idx in enumerate(splits):
+        path = os.path.join(out_dir, f"events-{i:05d}{ext}")
+        _write_jsonl(df.iloc[idx], path, cfg.compression)
+        paths.append(path)
+    return paths
+
+
+def write_change_stream_parquet(out_dir: str, cfg: ChangeStreamConfig) -> list[str]:
+    """Parquet wire-format variant (faster to scan; used by the bench).
+
+    v1 files carry turn_idx as int32 and NO tool_meta column; v2 files carry
+    int64 + tool_meta — the honest schema-evolution-on-disk fixture.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    df = generate_change_events(cfg)
+    paths = []
+    splits = np.array_split(np.arange(len(df)), cfg.n_files)
+    for i, idx in enumerate(splits):
+        part = df.iloc[idx]
+        v2 = bool((part["schema_version"] == 2).any())
+        if not v2:
+            part = part.drop(columns=["tool_meta"])
+            part = part.astype({"turn_idx": np.int32})
+        tbl = pa.Table.from_pandas(part, preserve_index=False)
+        path = os.path.join(out_dir, f"events-{i:05d}.parquet")
+        pq.write_table(tbl, path)
+        paths.append(path)
+    return paths
+
+
+def lww_oracle(events: pd.DataFrame) -> pd.DataFrame:
+    """Pure-pandas reference applier (FIXTURES.md §5).
+
+    Last writer per (conv_id, turn_idx) by commit lsn wins; a winning 'D'
+    removes the key. Returns the final table sorted by (conv_id, turn_idx).
+    """
+    e = events.sort_values(["lsn", "offset"], kind="stable")
+    last = e.groupby(["conv_id", "turn_idx"], as_index=False).tail(1)
+    final = last[last["op"] != "D"].copy()
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "tool_meta"]
+    for c in cols:
+        if c not in final.columns:
+            final[c] = None
+    return (
+        final[cols]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+        .astype({"turn_idx": np.int64})
+    )

@@ -1,0 +1,62 @@
+"""SparkSession factory with scale-aware defaults.
+
+Defaults are tuned so the same code runs on local[N] for tests and on a
+multi-executor cluster unchanged:
+
+- AQE on (runtime coalesce + skew-join splitting),
+- Arrow on for every pandas-UDF crossing,
+- shuffle partitions sized to parallelism (overridable),
+- UTC session timezone so timestamps compare bit-identically against the
+  DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "xgeo_spark",
+    parallelism: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``parallelism`` pins ``local[N]``; default is ``$SPARK_GRAFT_CPUS`` or
+    all cores. On a real cluster, leave ``parallelism`` unset and submit via
+    ``spark-submit --py-files``; only the master URL changes.
+    """
+    if parallelism is None:
+        parallelism = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if shuffle_partitions is None:
+        # at local scale: one shuffle partition per core; on a cluster this
+        # is overridden (AQE coalesces down from a higher initial number).
+        shuffle_partitions = max(parallelism, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{parallelism}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,192 @@
+"""The CDC ingest pipeline: change feed -> decode -> dedup -> lake merge.
+
+Target-lifecycle shape (SURVEY.md §3.4): ``readStream`` over the
+offset-ordered feed -> ``foreachBatch`` -> inside each batch: quarantine
+split -> (optional) vectorized text normalization -> LWW dedup -> schema
+diff/evolve -> idempotent MERGE commit -> lineage append. The checkpointed
+file-source offsets plus the sink's batch_id stamping give exactly-once:
+a crash replays the batch with the same batch_id and the sink skips it.
+
+The same ``apply_batch`` is callable in bounded batch mode (tests, bench)
+and from the streaming query — one code path, two drivers, the analogue of
+the reference's single pipeline loop (/root/reference/cmd/xgeo/main.go:53-62).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from xgeo_spark.sinks.base import LakeTable, MergeStats
+from xgeo_spark.sources.change_feed import ChangeFeedSource
+from xgeo_spark.streaming.lineage import LineageLog
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+KEY_COLS = ["conv_id", "turn_idx"]
+
+
+@dataclass
+class IngestConfig:
+    n_buckets: int = 64
+    max_files_per_trigger: int = 4
+    normalize_text: bool = False
+    lineage: bool = True
+    quarantine_dir: str | None = None
+    extra: dict = field(default_factory=dict)
+
+
+class CDCIngestPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        feed_dir: str,
+        table: LakeTable,
+        lineage_path: str | None = None,
+        config: IngestConfig | None = None,
+    ):
+        self.spark = spark
+        self.source = ChangeFeedSource(spark, feed_dir)
+        self.table = table
+        self.config = config or IngestConfig()
+        self.lineage = (
+            LineageLog(spark, lineage_path) if lineage_path and self.config.lineage else None
+        )
+        if not table.exists():
+            table.create(TRANSCRIPT_SCHEMA, KEY_COLS, n_buckets=self.config.n_buckets)
+
+    # ---------- the one batch applier ----------
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int | None) -> MergeStats:
+        good, bad = ChangeFeedSource.split_good_bad(batch_df)
+
+        n_bad = 0
+        if self.config.quarantine_dir is not None:
+            from pyspark.sql import Observation
+
+            obs = Observation(f"quarantine-{batch_id}")
+            bad = bad.observe(obs, F.count(F.lit(1)).alias("n"))
+            bad.write.mode("append").json(self.config.quarantine_dir)
+            n_bad = int(obs.get.get("n", 0) or 0)
+
+        if self.config.normalize_text:
+            from xgeo_spark.functions.text import normalize_text
+
+            good = good.withColumn("text", normalize_text(F.col("text")))
+
+        # ONE pre-aggregation pass over the batch computes everything the
+        # driver needs before the merge: per-partition lineage metrics,
+        # offset range, max schema_version (did v2 rows arrive yet?), and
+        # the set of storage buckets the batch touches. All map-side
+        # combined on spark_partition_id — no meaningful shuffle.
+        from xgeo_spark.sinks.parquet_lake import ParquetLakeTable, _bucket_expr
+
+        n_buckets = None
+        if isinstance(self.table, ParquetLakeTable) and self.table.exists():
+            n_buckets = self.table.manifest()["n_buckets"]
+
+        pre = good
+        aggs = [
+            F.min("offset").alias("offset_start"),
+            F.max("offset").alias("offset_end"),
+            F.count(F.lit(1)).alias("rows_in"),
+            F.sum(F.octet_length(F.coalesce(F.col("text"), F.lit("")))).alias(
+                "approx_bytes"
+            ),
+            F.max(F.coalesce(F.col("schema_version"), F.lit(1))).alias("max_sv"),
+        ]
+        if n_buckets is not None:
+            pre = pre.withColumn("_b", _bucket_expr("conv_id", n_buckets))
+            aggs.append(F.collect_set("_b").alias("buckets"))
+        pm = (
+            pre.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(*aggs)
+            .collect()
+        )
+        partition_rows = [r.asDict() for r in pm]
+
+        offs = [
+            (r["offset_start"], r["offset_end"])
+            for r in partition_rows
+            if r["offset_start"] is not None
+        ]
+        offset_range = (
+            (min(o[0] for o in offs), max(o[1] for o in offs)) if offs else None
+        )
+        touched = (
+            sorted({b for r in partition_rows for b in (r.get("buckets") or [])})
+            if n_buckets is not None
+            else None
+        )
+
+        # events whose source file predates the schema change simply lack
+        # tool_meta (all-null) — dropping the all-null column lets the sink
+        # observe the batch's TRUE schema and evolve only when v2 arrives.
+        max_sv = max((r["max_sv"] or 1 for r in partition_rows), default=1)
+        if "tool_meta" in good.columns and max_sv < 2:
+            good = good.drop("tool_meta")
+
+        merge_kwargs = {}
+        if touched is not None:
+            merge_kwargs["touched_buckets"] = touched
+        stats = self.table.merge(
+            good, batch_id=batch_id, offset_range=offset_range, **merge_kwargs
+        )
+        if self.lineage is not None:
+            self.lineage.append(stats, partition_rows, rows_quarantined=n_bad)
+        return stats
+
+    # ---------- bounded replay (tests / bench) ----------
+
+    def run_batch_replay(self, files_per_batch: int = 2, start_batch_id: int = 0) -> list[MergeStats]:
+        files = sorted(
+            os.path.join(self.source.feed_dir, f)
+            for f in os.listdir(self.source.feed_dir)
+            if f.endswith((".jsonl", ".jsonl.gz", ".parquet"))
+        )
+        out = []
+        bid = start_batch_id
+        for i in range(0, len(files), files_per_batch):
+            chunk = files[i : i + files_per_batch]
+            batch = self.source.read_batch(chunk)
+            out.append(self.apply_batch(batch, bid))
+            bid += 1
+        return out
+
+    # ---------- streaming ----------
+
+    def run_stream(
+        self,
+        checkpoint_dir: str,
+        available_now: bool = True,
+        await_termination: bool = True,
+    ):
+        stream = self.source.read_stream(self.config.max_files_per_trigger)
+
+        def _for_each_batch(batch_df: DataFrame, batch_id: int) -> None:
+            self.apply_batch(batch_df, batch_id)
+
+        writer = (
+            stream.writeStream.foreachBatch(_for_each_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        query = writer.start()
+        if await_termination:
+            query.awaitTermination()
+        return query
