@@ -63,6 +63,7 @@ class LakeTable(abc.ABC):
         updates: DataFrame,
         batch_id: int | None = None,
         offset_range: tuple[int, int] | None = None,
+        **hints,
     ) -> MergeStats:
         """LWW-merge a batch of change events (op/lsn/ts + key + payload).
 

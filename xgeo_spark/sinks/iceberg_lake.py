@@ -112,6 +112,7 @@ class IcebergLakeTable(LakeTable):
         updates: DataFrame,
         batch_id: int | None = None,
         offset_range: tuple[int, int] | None = None,
+        **_hints,
     ) -> MergeStats:
         last = self.last_batch_id()
         if batch_id is not None and last is not None and batch_id <= last:

@@ -40,7 +40,7 @@ import json
 import os
 import uuid
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -153,6 +153,7 @@ class ParquetLakeTable(LakeTable):
         batch_id: int | None = None,
         offset_range: tuple[int, int] | None = None,
         touched_buckets: list[int] | None = None,
+        stats_hints: dict | None = None,
     ) -> MergeStats:
         m = self.manifest()
         last = m.get("last_batch_id")
@@ -187,13 +188,22 @@ class ParquetLakeTable(LakeTable):
             (F.col("op") == F.lit("D")).alias("_deleted"),
         )
         conv_key = key_cols[0]
-        obs_batch = Observation(f"batch-{batch_id}")
-        shaped = shaped.observe(
-            obs_batch,
-            F.count(F.lit(1)).alias("rows_in"),
-            F.sum(F.when(F.col("_deleted"), 1).otherwise(0)).alias("deletes_in"),
-        )
         shaped = shaped.withColumn("_bucket", _bucket_expr(conv_key, n_buckets))
+
+        # batch-level row counts: taken from the pipeline's pre-aggregation
+        # hints when present (zero extra work); else one small agg here.
+        # NOTE: Observation.get deadlocks inside streaming foreachBatch
+        # (listener events never fire for those jobs), so counts must NOT
+        # ride on observe() in this code path.
+        if stats_hints is None:
+            hint_row = shaped.agg(
+                F.count(F.lit(1)).alias("rows_in"),
+                F.sum(F.when(F.col("_deleted"), 1).otherwise(0)).alias("deletes_in"),
+            ).collect()[0]
+            stats_hints = {
+                "rows_in": hint_row["rows_in"] or 0,
+                "deletes_in": hint_row["deletes_in"] or 0,
+            }
 
         # 3. touched buckets: bounded-size collect (<= n_buckets ints);
         #    the pipeline passes this as a hint computed inside its single
@@ -239,13 +249,6 @@ class ParquetLakeTable(LakeTable):
             .drop("_src")
         )
 
-        obs = Observation(f"merge-{batch_id}")
-        final = final.observe(
-            obs,
-            F.count(F.lit(1)).alias("rows_total"),
-            F.sum(F.when(F.col("_deleted"), 1).otherwise(0)).alias("tombstones"),
-        )
-
         # 6. write touched buckets for the new version (one file per bucket
         #    partition at local scale; AQE coalesces small ones)
         version = m["version"] + 1
@@ -257,8 +260,6 @@ class ParquetLakeTable(LakeTable):
             .partitionBy("_bucket")
             .parquet(out_dir)
         )
-        row_metrics = obs.get
-        batch_metrics = obs_batch.get
 
         # 7. new manifest: rewritten buckets point at fresh files, untouched
         #    buckets carried forward by reference
@@ -281,8 +282,8 @@ class ParquetLakeTable(LakeTable):
             "batch_id": batch_id,
             "offset_range": list(offset_range) if offset_range else None,
             "buckets_rewritten": touched,
-            "rows_total": row_metrics.get("rows_total"),
-            "tombstones": row_metrics.get("tombstones"),
+            "rows_in": int(stats_hints.get("rows_in", 0) or 0),
+            "deletes_in": int(stats_hints.get("deletes_in", 0) or 0),
             "schema_changed": schema_changed,
         }
         new_manifest = {
@@ -296,11 +297,11 @@ class ParquetLakeTable(LakeTable):
         }
         self._commit(new_manifest)
 
-        deletes_in = int(batch_metrics.get("deletes_in", 0) or 0)
+        deletes_in = int(stats_hints.get("deletes_in", 0) or 0)
         return MergeStats(
             batch_id=batch_id,
             version=version,
-            rows_upserted=int(batch_metrics.get("rows_in", 0) or 0) - deletes_in,
+            rows_upserted=int(stats_hints.get("rows_in", 0) or 0) - deletes_in,
             rows_deleted=deletes_in,
             buckets_touched=len(touched),
             offset_range=offset_range,

@@ -75,12 +75,11 @@ class CDCIngestPipeline:
 
         n_bad = 0
         if self.config.quarantine_dir is not None:
-            from pyspark.sql import Observation
-
-            obs = Observation(f"quarantine-{batch_id}")
-            bad = bad.observe(obs, F.count(F.lit(1)).alias("n"))
-            bad.write.mode("append").json(self.config.quarantine_dir)
-            n_bad = int(obs.get.get("n", 0) or 0)
+            # plain count + write; Observation would deadlock under
+            # streaming foreachBatch (see sinks/parquet_lake.py note)
+            n_bad = bad.count()
+            if n_bad:
+                bad.write.mode("append").json(self.config.quarantine_dir)
 
         if self.config.normalize_text:
             from xgeo_spark.functions.text import normalize_text
@@ -107,6 +106,7 @@ class CDCIngestPipeline:
                 "approx_bytes"
             ),
             F.max(F.coalesce(F.col("schema_version"), F.lit(1))).alias("max_sv"),
+            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("deletes_in"),
         ]
         if n_buckets is not None:
             pre = pre.withColumn("_b", _bucket_expr("conv_id", n_buckets))
@@ -139,7 +139,12 @@ class CDCIngestPipeline:
         if "tool_meta" in good.columns and max_sv < 2:
             good = good.drop("tool_meta")
 
-        merge_kwargs = {}
+        merge_kwargs = {
+            "stats_hints": {
+                "rows_in": sum((r["rows_in"] or 0) for r in partition_rows),
+                "deletes_in": sum((r["deletes_in"] or 0) for r in partition_rows),
+            }
+        }
         if touched is not None:
             merge_kwargs["touched_buckets"] = touched
         stats = self.table.merge(
