@@ -1,38 +1,80 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship — the CDC apply path run over the driver's
+  sf0.001 ``events`` table treated as a change feed (decode -> LWW dedup ->
+  bucket-merge -> read back).
+- ``queries()``: one entry per implemented operator (SURVEY.md §2.4 target
+  set + training-data-pipeline operators); implementations live in
+  ``xgeo_spark/queries.py``.
+- ``oracle_sql()``: matching ANSI SQL for DuckDB. Keys without SQL are the
+  genuinely non-SQL-expressible ops (stateful CDC replay, UDF-heuristic
+  text analysis, LSH candidate generation) — the driver does a rows-only
+  check for those; their semantics are covered by tests/.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: CDC-apply the sf0.001 events table into a lake table.
+
+    events(event_id, ts, user_id, event_type, value, props) is read as a
+    change feed: lsn = event_id, key = (user_id, event_type), op = U with
+    a deterministic 5% D mix — then the full engine path runs: LWW dedup
+    (map-side combinable max_by), schema shaping, bucket-partitioned
+    idempotent merge. Returns the final deduped table.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from xgeo_spark.sinks.parquet_lake import ParquetLakeTable
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    updates = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.col("event_id").alias("offset"),
+        F.when(F.pmod(F.col("event_id"), F.lit(20)) == 0, "D").otherwise("U").alias("op"),
+        F.col("user_id").cast("long"),
+        F.col("event_type"),
+        F.col("ts"),
+        F.col("value"),
+        F.col("props"),
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("event_type", T.StringType(), False),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="xgeo_entry_")
+    table = ParquetLakeTable(spark, os.path.join(root, "lake"))
+    table.create(schema, ["user_id", "event_type"], n_buckets=8)
+    table.merge(updates, batch_id=0)
+    return table.read().orderBy("user_id", "event_type")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from xgeo_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from xgeo_spark.queries import QUERIES
+
+    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}

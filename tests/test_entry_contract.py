@@ -1,0 +1,110 @@
+"""Replicates the driver's correctness gate locally: for every queries()
+entry with an oracle, run the Spark plan AND the DuckDB SQL at sf0.01 and
+compare row count + column names + order-insensitive values. Rows-only
+checks for the non-SQL entries."""
+
+import math
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from xgeo_spark.queries import QUERIES, TABLES  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_CORRECTNESS", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    out = df.copy()
+    out = out[sorted(out.columns)]
+    for c in out.columns:
+        s = out[c]
+        if pd.api.types.is_float_dtype(s):
+            out[c] = np.round(s.astype("float64"), 9)
+        elif pd.api.types.is_datetime64_any_dtype(s):
+            # unify unit (us vs ns) and tz-awareness: compare as strings
+            dt = pd.to_datetime(s)
+            if getattr(dt.dt, "tz", None) is not None:
+                dt = dt.dt.tz_localize(None)
+            out[c] = dt.astype("datetime64[ns]").astype(str)
+        elif s.dtype == object:
+            out[c] = s.astype(str)
+        elif pd.api.types.is_integer_dtype(s):
+            out[c] = s.astype("float64")  # unify int widths/unsigned
+    out = out.sort_values(by=list(out.columns), kind="stable").reset_index(drop=True)
+    return out
+
+
+def _values_equal(a: pd.DataFrame, b: pd.DataFrame) -> bool:
+    if a.shape != b.shape:
+        return False
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av):
+            ok = np.allclose(
+                av.fillna(math.nan), bv.fillna(math.nan),
+                rtol=0, atol=1e-9, equal_nan=True,
+            )
+        else:
+            ok = av.fillna("∅").equals(bv.fillna("∅"))
+        if not ok:
+            return False
+    return True
+
+
+SQL_CASES = [n for n, (_f, s) in QUERIES.items() if s is not None]
+ROWS_ONLY_CASES = [n for n, (_f, s) in QUERIES.items() if s is None]
+
+
+@pytest.mark.parametrize("name", SQL_CASES)
+def test_query_matches_oracle(spark, duck, name):
+    fn, sql = QUERIES[name]
+    got = fn(spark, SF_DIR).toPandas()
+    exp = duck.execute(sql).df()
+    assert sorted(got.columns) == sorted(exp.columns), (
+        f"{name}: columns {sorted(got.columns)} != {sorted(exp.columns)}"
+    )
+    assert len(got) == len(exp), f"{name}: rows {len(got)} != {len(exp)}"
+    g, e = _normalize(got), _normalize(exp)
+    assert _values_equal(g, e), (
+        f"{name}: value mismatch\nspark:\n{g.head(8)}\noracle:\n{e.head(8)}"
+    )
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_CASES)
+def test_rows_only_queries_run(spark, name):
+    fn, _ = QUERIES[name]
+    df = fn(spark, SF_DIR)
+    n = df.count()
+    assert n >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert "user_id" in df.columns
+
+
+def test_contract_shape():
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 20

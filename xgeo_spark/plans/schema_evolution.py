@@ -28,7 +28,8 @@ from pyspark.sql import types as T
 _WIDENING_CHAINS: list[list[T.DataType]] = [
     [T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType()],
     [T.FloatType(), T.DoubleType()],
-    [T.DateType(), T.TimestampType()],
+    # session timezone is pinned UTC engine-wide, so NTZ -> TZ is lossless
+    [T.DateType(), T.TimestampNTZType(), T.TimestampType()],
 ]
 
 

@@ -1,0 +1,802 @@
+"""Operator-coverage query registry for the driver contract.
+
+Each entry is ``name -> (spark_fn, oracle_sql | None)``:
+
+- ``spark_fn(spark, sf_dir) -> DataFrame`` — the idiomatic-Spark plan;
+- ``oracle_sql`` — ANSI SQL DuckDB runs on the same parquet tables; the
+  driver compares row count + schema + order-insensitive value hash.
+  ``None`` marks genuinely non-SQL-expressible ops (the driver then does a
+  rows-only check).
+
+Numeric discipline (so value hashes match across engines): money/value
+aggregates go through ``CAST(x AS DECIMAL(18,2))`` before SUM — decimal
+sums are exact and engine-order-independent — then cast back to double;
+time arithmetic uses integer microseconds (``unix_micros`` /
+``epoch_us``); float similarity scores are rounded. Every computed column
+is aliased identically on both sides.
+
+Operator parity notes reference SURVEY.md §2: the reference engine itself
+has no joins/aggs/windows (§2.3); this registry implements the target
+operator set (§2.4) plus the training-data-pipeline operators the task
+brief requires (dedup family, similarity search, text analysis).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- helpers
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec_sum(c, alias):
+    """Exact, order-independent money sum: decimal accumulate, double out."""
+    return F.sum(F.col(c).cast("decimal(18,2)")).cast("double").alias(alias)
+
+
+def _dec_avg(c, alias):
+    return (
+        F.sum(F.col(c).cast("decimal(18,2)")).cast("double")
+        / F.count(F.col(c))
+    ).alias(alias)
+
+
+_SQL_DEC_SUM = "CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE)"
+_SQL_DEC_AVG = "(CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) / COUNT({c}))"
+
+
+# ---------------------------------------------------------------- TPC-H-ish
+
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-heavy agg with arithmetic; only 7 of 11 columns
+    are read (check ReadSchema in .explain) and the date filter is pushed
+    to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            _dec_sum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price.cast("decimal(28,6)")).cast("double").alias("sum_disc_price"),
+            F.sum(charge.cast("decimal(28,6)")).cast("double").alias("sum_charge"),
+            _dec_avg("l_quantity", "avg_qty"),
+            _dec_avg("l_extendedprice", "avg_price"),
+            _dec_avg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       {_SQL_DEC_SUM.format(c='l_extendedprice')} AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+       {_SQL_DEC_AVG.format(c='l_quantity')} AS avg_qty,
+       {_SQL_DEC_AVG.format(c='l_extendedprice')} AS avg_price,
+       {_SQL_DEC_AVG.format(c='l_discount')} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark, sf_dir):
+    """3-way join + agg + top-k. Customer is small -> broadcast; lineitem
+    x orders co-partition on the order key."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+            ).cast("double").alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark, sf_dir):
+    """6-way star join: all dimension tables broadcast, one shuffle for the
+    final agg — the plan a 100 TB fact table needs."""
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    cust = F.broadcast(_t(spark, sf_dir, "customer"))
+    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+            ).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def top_orders_per_customer(spark, sf_dir):
+    """Window top-k: row_number over (custkey) ordered by price."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+TOP_ORDERS_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3
+"""
+
+
+def running_customer_spend(spark, sf_dir):
+    """Running-sum window (ROWS frame), decimal-exact."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn(
+            "cum_spend",
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"),
+        )
+        .select("o_custkey", "o_orderkey", "cum_spend")
+    )
+
+
+RUNNING_SPEND_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_spend
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------- events / CDC-ish
+
+def events_lww_latest(spark, sf_dir):
+    """The north-star dedup operator on the driver's events table:
+    last writer per (user_id, event_type) by (ts, event_id)."""
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+EVENTS_LWW_SQL = """
+SELECT user_id, event_type, event_id, ts, value FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+def events_hourly(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            _dec_sum("value", "sum_value"),
+        )
+        .orderBy("hour")
+    )
+
+
+EVENTS_HOURLY_SQL = f"""
+SELECT date_trunc('hour', ts) AS hour,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       {_SQL_DEC_SUM.format(c='value')} AS sum_value
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def events_json_props(spark, sf_dir):
+    """Semi-structured payload: JSON path extraction + agg (the canonical
+    CDC 'dynamic properties' pattern, reference analogue io/interface.go:4)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("k", F.get_json_object(F.col("props"), "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def events_rollup(spark, sf_dir):
+    """ROLLUP grouping sets over (event_type, hour-of-day)."""
+    ev = _t(spark, sf_dir, "events").withColumn("hr", F.hour("ts"))
+    return (
+        ev.rollup("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("n"), _dec_sum("value", "sum_value"))
+        .orderBy(F.col("event_type").asc_nulls_first(), F.col("hr").asc_nulls_first())
+    )
+
+
+EVENTS_ROLLUP_SQL = f"""
+SELECT event_type, CAST(hr AS INT) AS hr, COUNT(*) AS n,
+       {_SQL_DEC_SUM.format(c='value')} AS sum_value
+FROM (SELECT *, EXTRACT(hour FROM ts) AS hr FROM events)
+GROUP BY ROLLUP (event_type, hr)
+ORDER BY event_type NULLS FIRST, hr NULLS FIRST
+"""
+
+
+def events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30 min) — lag + running conditional sum,
+    all integer-microsecond arithmetic."""
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # unix_micros needs TIMESTAMP (not NTZ); session tz is UTC so the cast
+    # is instant-preserving
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.unix_micros(F.lag("ts").over(w_ord).cast("timestamp"))
+    gap_us = ts_us - prev_us
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("is_new", F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0))
+        .withColumn(
+            "session_id",
+            F.sum("is_new").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)) AS gap_us
+  FROM events),
+s AS (
+  SELECT user_id,
+         SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g)
+SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
+FROM s GROUP BY user_id ORDER BY user_id
+"""
+
+
+def asof_latest_event_per_user(spark, sf_dir):
+    """As-of/argmax: the latest event at-or-before a cutoff, per user —
+    max_by aggregation (map-side combinable), not a window sort."""
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    ord_key = F.struct(F.col("ts").alias("t"), F.col("event_id").alias("e"))
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts") <= cutoff)
+        .groupBy("user_id")
+        .agg(
+            F.max_by("event_id", ord_key).alias("last_event_id"),
+            F.max_by("event_type", ord_key).alias("last_event_type"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ASOF_SQL = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       last_ts
+FROM (
+  SELECT user_id, event_id, event_type,
+         MAX(ts) OVER (PARTITION BY user_id) AS last_ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+WHERE rn = 1 ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------- joins/set ops
+
+def customers_without_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+ORDER BY c_custkey
+"""
+
+
+def suppliers_with_returns_semi(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        supp.join(li, supp.s_suppkey == li.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+SEMI_SQL = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_suppkey = s_suppkey AND l_returnflag = 'R')
+ORDER BY s_suppkey
+"""
+
+
+def buyer_seller_set_ops(spark, sf_dir):
+    """Set operators: users seen in clicks INTERSECT purchases, minus errors."""
+    ev = _t(spark, sf_dir, "events")
+    u = lambda t: ev.filter(F.col("event_type") == t).select("user_id").distinct()  # noqa: E731
+    out = u("click").intersect(u("purchase")).exceptAll(u("error")).orderBy("user_id")
+    return out
+
+
+SET_OPS_SQL = """
+(SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+ INTERSECT
+ SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+ORDER BY user_id
+"""
+
+
+def part_string_funcs(spark, sf_dir):
+    """Scalar string/expression library over part."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_type").like("%BRASS%"))
+        .select(
+            "p_partkey",
+            F.upper(F.col("p_brand")).alias("brand_upper"),
+            F.length(F.col("p_name")).alias("name_len"),
+            F.substring(F.col("p_name"), 1, 5).alias("name_prefix"),
+            F.concat_ws("|", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+            (F.col("p_retailprice").cast("decimal(18,2)") * 2).cast("double").alias("double_price"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+STRING_FUNCS_SQL = """
+SELECT p_partkey,
+       UPPER(p_brand) AS brand_upper,
+       LENGTH(p_name) AS name_len,
+       SUBSTRING(p_name, 1, 5) AS name_prefix,
+       CONCAT_WS('|', p_brand, p_type) AS brand_type,
+       CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 2 AS DOUBLE) AS double_price
+FROM part WHERE p_type LIKE '%BRASS%' ORDER BY p_partkey
+"""
+
+
+def high_value_nations_having(spark, sf_dir):
+    """groupBy + HAVING + conditional aggregation."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _dec_sum("c_acctbal", "total_bal"),
+            F.sum(F.when(F.col("c_acctbal") > 0, 1).otherwise(0)).alias("n_positive"),
+        )
+        .filter(F.col("n_customers") > 20)
+        .orderBy("n_name")
+    )
+
+
+HAVING_SQL = f"""
+SELECT n_name, COUNT(*) AS n_customers,
+       {_SQL_DEC_SUM.format(c='c_acctbal')} AS total_bal,
+       SUM(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS n_positive
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name HAVING COUNT(*) > 20 ORDER BY n_name
+"""
+
+
+# ---------------------------------------------------------------- documents
+
+def _norm_text_col():
+    return F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+
+
+def doc_exact_dedup(spark, sf_dir):
+    """Exact dedup by content hash (hash-groupBy): keep min doc_id per md5,
+    report group size. The baseline dedup operator for training pipelines."""
+    d = _t(spark, sf_dir, "documents").withColumn("h", F.md5(_norm_text_col()))
+    return (
+        d.groupBy("h")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keep_doc_id")
+    )
+
+
+DOC_EXACT_DEDUP_SQL = """
+SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h,
+       MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1 ORDER BY keep_doc_id
+"""
+
+
+def doc_token_stats(spark, sf_dir):
+    """Token counting JVM-side (codegen) — whitespace tokens + char stats."""
+    d = _t(spark, sf_dir, "documents")
+    norm = _norm_text_col()
+    n_tokens = F.when(F.length(norm) == 0, 0).otherwise(F.size(F.split(norm, " ")))
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        F.length(F.col("text")).alias("n_chars_actual"),
+        (F.length(norm) - F.length(F.regexp_replace(norm, " ", ""))).alias("n_spaces"),
+    ).orderBy("doc_id")
+
+
+DOC_TOKEN_STATS_SQL = """
+WITH n AS (SELECT doc_id, lang, text,
+                  lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+           FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN length(norm) = 0 THEN 0
+            ELSE CAST(len(string_split(norm, ' ')) AS INT) END AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_actual,
+       CAST(length(norm) - length(replace(norm, ' ', '')) AS BIGINT) AS n_spaces
+FROM n ORDER BY doc_id
+"""
+
+
+def doc_ngram_jaccard_anchor(spark, sf_dir):
+    """Word-3-gram Jaccard of every document against doc 0 — the exact
+    n-gram near-dup primitive, entirely with higher-order array builtins
+    (no Python). Integer set sizes only -> hash-exact oracle."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(_norm_text_col(), " ")
+    n = F.size(words)
+    grams = F.when(
+        n >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(words, i + 1),
+                    F.element_at(words, i + 2),
+                    F.element_at(words, i + 3),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    docs = d.select("doc_id", grams.alias("grams"))
+    anchor = docs.filter(F.col("doc_id") == 0).select(
+        F.col("grams").alias("anchor_grams")
+    )
+    return (
+        docs.crossJoin(F.broadcast(anchor))
+        .select(
+            "doc_id",
+            F.size(F.array_intersect("grams", "anchor_grams")).alias("n_common"),
+            F.size(F.array_union("grams", "anchor_grams")).alias("n_union"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_NGRAM_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 3 THEN
+           list_distinct(list_transform(generate_series(1, len(words)-2),
+             i -> array_to_string(list_slice(words, i, i+2), ' ')))
+         ELSE [] END AS grams
+  FROM (SELECT doc_id,
+               string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))), ' ') AS words
+        FROM documents)),
+a AS (SELECT grams AS anchor_grams FROM g WHERE doc_id = 0)
+SELECT g.doc_id,
+       CAST(len(list_intersect(g.grams, a.anchor_grams)) AS INT) AS n_common,
+       CAST(len(list_distinct(list_concat(g.grams, a.anchor_grams))) AS INT) AS n_union
+FROM g, a ORDER BY g.doc_id
+"""
+
+
+def doc_text_analysis(spark, sf_dir):
+    """Pandas-UDF text analysis: lang-id, quality, fingerprint, BPE-ish
+    tokens. Not SQL-expressible (heuristics live in the UDFs) -> rows-only
+    driver check; determinism is covered by tests/test_text_functions.py."""
+    from xgeo_spark.functions.text import (
+        bpe_ish_token_count,
+        doc_fingerprint,
+        lang_id,
+        normalize_text,
+        quality_score,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    return d.select(
+        "doc_id",
+        lang_id(norm).alias("lang_pred"),
+        quality_score(norm).alias("quality"),
+        doc_fingerprint(norm).alias("fingerprint"),
+        bpe_ish_token_count(norm).alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+def doc_minhash_near_dup(spark, sf_dir):
+    """MinHash+LSH near-duplicate candidate pairs (rows-only check)."""
+    from xgeo_spark.functions.dedup_text import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text",
+        n_hashes=64, n_bands=16, shingle_k=5, min_est_jaccard=0.2,
+    )
+
+
+def doc_simhash_buckets(spark, sf_dir):
+    """SimHash 64-bit signatures + hamming-adjacent bucket counts
+    (rows-only check)."""
+    from xgeo_spark.functions.dedup_text import simhash_signatures
+
+    sig = simhash_signatures(
+        _t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text"
+    )
+    return (
+        sig.groupBy(F.shiftright(F.col("simhash"), 48).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------- embeddings
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_aggregate(list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')"
+    )
+
+
+def emb_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k against an anchor vector (vec_id 0) — the
+    exact-ANN baseline. Dot products via zip_with/aggregate builtins in
+    double precision; NO Python in the loop."""
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "emb_d", F.col("embedding").cast("array<double>")
+    )
+    anchor = e.filter(F.col("vec_id") == 0).select(
+        F.col("emb_d").alias("anchor_d")
+    )
+    dot = F.aggregate(
+        F.zip_with("emb_d", "anchor_d", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        e.crossJoin(F.broadcast(anchor))
+        .select(
+            "vec_id",
+            "label",
+            F.round(dot / (norm(F.col("emb_d")) * norm(F.col("anchor_d"))), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("vec_id") != 0)
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(20)
+    )
+
+
+EMB_COSINE_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+a AS (SELECT embedding AS anchor FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label,
+       ROUND({_dot_sql('e.embedding', 'a.anchor')} /
+             (sqrt({_dot_sql('e.embedding', 'e.embedding')}) *
+              sqrt({_dot_sql('a.anchor', 'a.anchor')})), 6) AS cosine
+FROM e, a WHERE vec_id != 0
+ORDER BY cosine DESC, vec_id
+LIMIT 20
+"""
+
+
+def emb_label_stats(spark, sf_dir):
+    """Per-label vector statistics: count + mean L2 norm (rounded)."""
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "emb_d", F.col("embedding").cast("array<double>")
+    )
+    norm = F.sqrt(
+        F.aggregate("emb_d", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        e.select("label", norm.alias("l2"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.round(F.avg("l2"), 4).alias("avg_norm"))
+        .orderBy("label")
+    )
+
+
+EMB_LABEL_SQL = f"""
+SELECT label, COUNT(*) AS n_vecs,
+       ROUND(AVG(sqrt({_dot_sql('embedding', 'embedding')})), 4) AS avg_norm
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+def emb_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN (random-hyperplane signs, seeded) — the scale path
+    for similarity search: candidates only join within a bucket. Rows-only
+    check (bucketing is engine-specific); recall vs brute force is asserted
+    in tests/test_vectors.py."""
+    from xgeo_spark.functions.vectors import lsh_bucket_neighbors
+
+    return lsh_bucket_neighbors(
+        _t(spark, sf_dir, "embeddings"), id_col="vec_id", vec_col="embedding",
+        n_planes=12, seed=42,
+    )
+
+
+# ---------------------------------------------------------------- CDC flagship
+
+def cdc_replay_small(spark, sf_dir):
+    """The engine itself as a query: generate a deterministic small change
+    stream, replay through the full pipeline (decode -> LWW dedup -> schema
+    evolution -> idempotent bucket-merge), return the final transcript
+    table. Non-SQL (stateful multi-batch apply) -> rows-only driver check;
+    oracle equality is asserted in tests/test_cdc_replay.py."""
+    import tempfile
+
+    from xgeo_spark.fixtures.generator import ChangeStreamConfig, write_change_stream
+    from xgeo_spark.sinks.parquet_lake import ParquetLakeTable
+    from xgeo_spark.streaming.pipeline import CDCIngestPipeline, IngestConfig
+
+    tmp = tempfile.mkdtemp(prefix="xgeo_flagship_")
+    cfg = ChangeStreamConfig(n_events=5000, n_convs=100, seed=42, n_files=4)
+    write_change_stream(f"{tmp}/feed", cfg)
+    table = ParquetLakeTable(spark, f"{tmp}/lake")
+    pipe = CDCIngestPipeline(
+        spark, f"{tmp}/feed", table,
+        config=IngestConfig(n_buckets=8, lineage=False),
+    )
+    pipe.run_batch_replay(files_per_batch=2)
+    return table.read().orderBy("conv_id", "turn_idx")
+
+
+# ---------------------------------------------------------------- registry
+
+QUERIES: dict[str, tuple[Callable, str | None]] = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q5_region_revenue": (q5_region_revenue, Q5_SQL),
+    "top_orders_per_customer": (top_orders_per_customer, TOP_ORDERS_SQL),
+    "running_customer_spend": (running_customer_spend, RUNNING_SPEND_SQL),
+    "events_lww_latest": (events_lww_latest, EVENTS_LWW_SQL),
+    "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
+    "events_json_props": (events_json_props, EVENTS_JSON_SQL),
+    "events_rollup": (events_rollup, EVENTS_ROLLUP_SQL),
+    "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
+    "asof_latest_event_per_user": (asof_latest_event_per_user, ASOF_SQL),
+    "customers_without_orders": (customers_without_orders, ANTI_SQL),
+    "suppliers_with_returns_semi": (suppliers_with_returns_semi, SEMI_SQL),
+    "buyer_seller_set_ops": (buyer_seller_set_ops, SET_OPS_SQL),
+    "part_string_funcs": (part_string_funcs, STRING_FUNCS_SQL),
+    "high_value_nations_having": (high_value_nations_having, HAVING_SQL),
+    "doc_exact_dedup": (doc_exact_dedup, DOC_EXACT_DEDUP_SQL),
+    "doc_token_stats": (doc_token_stats, DOC_TOKEN_STATS_SQL),
+    "doc_ngram_jaccard_anchor": (doc_ngram_jaccard_anchor, DOC_NGRAM_SQL),
+    "doc_text_analysis": (doc_text_analysis, None),
+    "doc_minhash_near_dup": (doc_minhash_near_dup, None),
+    "doc_simhash_buckets": (doc_simhash_buckets, None),
+    "emb_cosine_topk": (emb_cosine_topk, EMB_COSINE_SQL),
+    "emb_label_stats": (emb_label_stats, EMB_LABEL_SQL),
+    "emb_ann_lsh": (emb_ann_lsh, None),
+    "cdc_replay_small": (cdc_replay_small, None),
+}
