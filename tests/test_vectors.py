@@ -1,0 +1,123 @@
+"""Similarity-search correctness: brute-force cosine is the oracle; the
+LSH-bucketed ANN path must (a) only ever return true cosine values and
+(b) reach reasonable recall on clustered data (multi-probe higher)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xgeo_spark.functions.vectors import (
+    brute_force_pairs_topk,
+    cosine_topk,
+    lsh_bucket_neighbors,
+)
+
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((8, DIM)) * 3
+    rows = []
+    for i in range(200):
+        c = centers[i % 8]
+        v = c + rng.standard_normal(DIM) * 0.3
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).cache()
+
+
+def _np_cosine(a, b):
+    a, b = np.asarray(a), np.asarray(b)
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def test_cosine_topk_matches_numpy(vec_df):
+    rows = {r["vec_id"]: r["embedding"] for r in vec_df.collect()}
+    q = rows[0]
+    want = sorted(
+        ((round(_np_cosine(v, q), 6), i) for i, v in rows.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:5]
+    got = cosine_topk(vec_df, q, k=5).collect()
+    assert [(r["cosine"], r["vec_id"]) for r in got] == want
+
+
+def test_lsh_candidates_have_exact_cosines(vec_df):
+    cand = lsh_bucket_neighbors(vec_df, n_planes=8, seed=42).limit(50).collect()
+    rows = {r["vec_id"]: r["embedding"] for r in vec_df.collect()}
+    assert cand, "LSH produced no candidates on clustered data"
+    for r in cand:
+        assert r["cosine"] == pytest.approx(
+            round(_np_cosine(rows[r["id_a"]], rows[r["id_b"]]), 6), abs=1e-6
+        )
+
+
+def test_lsh_recall_vs_brute_force(vec_df):
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in brute_force_pairs_topk(vec_df, k=3).collect()
+        if r["id_a"] < r["id_b"] and r["cosine"] > 0.9
+    }
+    assert truth
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_bucket_neighbors(vec_df, n_planes=10, seed=42).collect()
+    }
+    multi = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_bucket_neighbors(
+            vec_df, n_planes=10, seed=42, multi_probe=True
+        ).collect()
+    }
+    recall_single = len(truth & single) / len(truth)
+    recall_multi = len(truth & multi) / len(truth)
+    assert recall_multi >= recall_single
+    assert recall_multi >= 0.8, (recall_single, recall_multi)
+
+
+def test_lsh_deterministic_across_runs(vec_df):
+    a = lsh_bucket_neighbors(vec_df, n_planes=8, seed=42).collect()
+    b = lsh_bucket_neighbors(vec_df, n_planes=8, seed=42).collect()
+    assert a == b
+
+
+def test_minhash_est_jaccard_tracks_truth(spark):
+    from xgeo_spark.functions.dedup_text import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 5
+    docs = [
+        (0, base),
+        (1, base),                        # exact dup
+        (2, base.replace("quick", "slow")),  # near dup
+        (3, "completely different content about spark shuffles and partitions " * 5),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(
+            df, "doc_id", "text", n_hashes=64, n_bands=16, shingle_k=5
+        ).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 2)] > 0.5
+    assert (0, 3) not in pairs or pairs[(0, 3)] < 0.2
+
+
+def test_simhash_hamming(spark):
+    from xgeo_spark.functions.dedup_text import simhash_near_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    df = spark.createDataFrame(
+        [(0, base), (1, base), (2, base.replace("gamma", "kappa"))],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(df, "doc_id", "text", prefix_bits=8).collect()
+    }
+    assert got[(0, 1)] == 0
+    if (0, 2) in got:
+        assert got[(0, 2)] > 0

@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Self-check: run every driver-contract query against its DuckDB oracle.
+
+Mimics the driver's correctness gate: for each ``queries()`` entry with an
+``oracle_sql()`` string, run the Spark DataFrame and the DuckDB SQL on the
+same parquet tables, sort columns by name, sort rows, and compare row count
++ values. Queries without SQL get a rows-only check (runs, >= 0 rows).
+
+Usage: python tools/check_oracle.py [--sf-dir /root/testdata/sf0.01] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+            if getattr(df[c].dt, "tz", None) is not None:
+                df[c] = df[c].dt.tz_localize(None)
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def _values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
+    return a == b
+
+
+def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    errs = []
+    a, b = _norm(spark_pdf), _norm(duck_pdf)
+    if list(a.columns) != list(b.columns):
+        errs.append(f"columns differ: spark={list(a.columns)} duck={list(b.columns)}")
+        return errs
+    if len(a) != len(b):
+        errs.append(f"row count differs: spark={len(a)} duck={len(b)}")
+        return errs
+    for c in a.columns:
+        av, bv = a[c].tolist(), b[c].tolist()
+        bad = [
+            (i, x, y) for i, (x, y) in enumerate(zip(av, bv)) if not _values_equal(x, y)
+        ]
+        if bad:
+            i, x, y = bad[0]
+            errs.append(
+                f"col {c}: {len(bad)}/{len(av)} values differ; first at row {i}: "
+                f"spark={x!r} ({type(x).__name__}) duck={y!r} ({type(y).__name__})"
+            )
+    return errs
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    import __spark_entry__ as e
+    from xgeo_spark.session import get_spark
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    names = args.names or list(qs)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'"
+        )
+
+    spark = get_spark("oracle_check", parallelism=8, shuffle_partitions=8)
+    n_fail = 0
+    for name in names:
+        try:
+            sdf = qs[name](spark, args.sf_dir).toPandas()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL  {name}: spark raised {type(ex).__name__}: {ex}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ok    {name}: rows-only ({len(sdf)} rows)")
+            continue
+        try:
+            ddf = con.execute(oracles[name]).fetchdf()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb raised {type(ex).__name__}: {ex}")
+            n_fail += 1
+            continue
+        errs = compare(sdf, ddf)
+        if errs:
+            n_fail += 1
+            print(f"FAIL  {name}:")
+            for er in errs:
+                print(f"      {er}")
+        else:
+            print(f"ok    {name}: {len(sdf)} rows match")
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

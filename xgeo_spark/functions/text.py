@@ -122,13 +122,18 @@ def doc_fingerprint(s: pd.Series) -> pd.Series:
 # column expressions equivalent to the UDFs above where builtins allow.
 
 def ws_token_count_col(c: Column) -> Column:
-    """Whitespace token count as a pure column expression (codegen'd)."""
-    trimmed = F.trim(F.regexp_replace(c, r"\s+", " "))
+    """Whitespace token count as a pure column expression (codegen'd).
+
+    ``(?U)`` turns on Java's UNICODE_CHARACTER_CLASS so ``\\s`` matches
+    NBSP & co., agreeing with the Python-side UDFs (Python ``\\s`` is
+    unicode-aware by default). NOTE: oracle-checked queries use ASCII
+    ``\\s`` instead (queries.py) because DuckDB's RE2 is ASCII there."""
+    trimmed = F.trim(F.regexp_replace(c, r"(?U)\s+", " "))
     return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
         F.size(F.split(trimmed, " "))
     )
 
 
 def normalize_ws_col(c: Column) -> Column:
-    """Whitespace collapse + trim (no unicode NFC — that needs the UDF)."""
-    return F.trim(F.regexp_replace(c, r"\s+", " "))
+    """Unicode whitespace collapse + trim (no NFC — that needs the UDF)."""
+    return F.trim(F.regexp_replace(c, r"(?U)\s+", " "))

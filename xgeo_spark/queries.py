@@ -394,8 +394,12 @@ WHERE rn = 1 ORDER BY user_id
 # ---------------------------------------------------------------- joins/set ops
 
 def customers_without_orders(spark, sf_dir):
+    """Anti join: customers with no orders since 2001 (non-empty at sf0.01;
+    with no date filter every synthetic customer has orders)."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01")
+    )
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
@@ -405,7 +409,9 @@ def customers_without_orders(spark, sf_dir):
 
 ANTI_SQL = """
 SELECT c_custkey, c_name FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-01-01')
 ORDER BY c_custkey
 """
 
@@ -429,11 +435,18 @@ ORDER BY s_suppkey
 
 
 def buyer_seller_set_ops(spark, sf_dir):
-    """Set operators: users seen in clicks INTERSECT purchases, minus errors."""
+    """Set operators: (click-users INTERSECT purchase-users) EXCEPT
+    error-prone users (>= 14 error events) — each leg non-trivial at sf0.01."""
     ev = _t(spark, sf_dir, "events")
     u = lambda t: ev.filter(F.col("event_type") == t).select("user_id").distinct()  # noqa: E731
-    out = u("click").intersect(u("purchase")).exceptAll(u("error")).orderBy("user_id")
-    return out
+    error_prone = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 14)
+        .select("user_id")
+    )
+    return u("click").intersect(u("purchase")).exceptAll(error_prone).orderBy("user_id")
 
 
 SET_OPS_SQL = """
@@ -441,7 +454,8 @@ SET_OPS_SQL = """
  INTERSECT
  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
 EXCEPT
-SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+(SELECT user_id FROM events WHERE event_type = 'error'
+ GROUP BY user_id HAVING COUNT(*) >= 14)
 ORDER BY user_id
 """
 
@@ -450,7 +464,7 @@ def part_string_funcs(spark, sf_dir):
     """Scalar string/expression library over part."""
     p = _t(spark, sf_dir, "part")
     return (
-        p.filter(F.col("p_type").like("%BRASS%"))
+        p.filter(F.col("p_type").isin("PROMO", "ECONOMY"))
         .select(
             "p_partkey",
             F.upper(F.col("p_brand")).alias("brand_upper"),
@@ -470,7 +484,7 @@ SELECT p_partkey,
        SUBSTRING(p_name, 1, 5) AS name_prefix,
        CONCAT_WS('|', p_brand, p_type) AS brand_type,
        CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 2 AS DOUBLE) AS double_price
-FROM part WHERE p_type LIKE '%BRASS%' ORDER BY p_partkey
+FROM part WHERE p_type IN ('PROMO', 'ECONOMY') ORDER BY p_partkey
 """
 
 
@@ -744,6 +758,18 @@ def emb_ann_lsh(spark, sf_dir):
     )
 
 
+def multimodal_decode(spark, sf_dir):
+    """Binary media columns (image/audio/video) -> typed features through
+    mapInPandas; decode itself is a deterministic stub (no media libs in the
+    container) but the Spark plumbing — binary column, metadata struct,
+    Arrow batch shape, typed output schema — is real. Rows-only check;
+    value semantics covered by tests/test_multimodal.py."""
+    from xgeo_spark.functions.multimodal import decode_images, synthesize_media_table
+
+    media = synthesize_media_table(spark, n=96, seed=42)
+    return decode_images(media).orderBy("media_id")
+
+
 # ---------------------------------------------------------------- CDC flagship
 
 def cdc_replay_small(spark, sf_dir):
@@ -798,5 +824,6 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "emb_cosine_topk": (emb_cosine_topk, EMB_COSINE_SQL),
     "emb_label_stats": (emb_label_stats, EMB_LABEL_SQL),
     "emb_ann_lsh": (emb_ann_lsh, None),
+    "multimodal_decode": (multimodal_decode, None),
     "cdc_replay_small": (cdc_replay_small, None),
 }
