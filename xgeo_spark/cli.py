@@ -1,0 +1,97 @@
+"""spark-submit entry point for the CDC ingest job.
+
+Ship and run (the north-rule deployment shape):
+
+    cd /root/repo && zip -qr /tmp/xgeo_spark.zip xgeo_spark
+    spark-submit --py-files /tmp/xgeo_spark.zip xgeo_spark/cli.py \
+        --feed-dir /data/feed --lake-dir /data/lake \
+        --checkpoint-dir /data/ckpt --mode stream
+
+On a cluster, pass ``--master`` through spark-submit as usual; the session
+builder only pins ``local[N]`` when ``--local-cores`` is given (tests/bench).
+The same binary replays bounded feeds (``--mode batch``) for backfills.
+
+Reference analogue: the one-positional-arg CLI driver at
+/root/reference/cmd/xgeo/main.go:14-19, grown the knobs a lake pipeline
+needs (checkpoint, buckets, quarantine, lineage).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="xgeo-spark-ingest", description=__doc__)
+    p.add_argument("--feed-dir", required=True, help="change-feed directory (offset-ordered .jsonl[.gz]/.parquet)")
+    p.add_argument("--lake-dir", required=True, help="lake table root")
+    p.add_argument("--mode", choices=["batch", "stream"], default="stream")
+    p.add_argument("--checkpoint-dir", default=None, help="required for --mode stream")
+    p.add_argument("--lineage-dir", default=None)
+    p.add_argument("--quarantine-dir", default=None)
+    p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--files-per-batch", type=int, default=4)
+    p.add_argument("--normalize-text", action="store_true")
+    p.add_argument("--continuous", action="store_true",
+                   help="stream mode: keep tailing instead of availableNow-and-exit")
+    p.add_argument("--local-cores", type=int, default=None,
+                   help="pin local[N] master (tests/bench); omit under spark-submit on a cluster")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.mode == "stream" and not args.checkpoint_dir:
+        print("--checkpoint-dir is required for --mode stream", file=sys.stderr)
+        return 2
+
+    from pyspark.sql import SparkSession
+
+    from xgeo_spark.sinks.parquet_lake import ParquetLakeTable
+    from xgeo_spark.streaming.pipeline import CDCIngestPipeline, IngestConfig
+
+    if args.local_cores:
+        from xgeo_spark.session import get_spark
+
+        spark = get_spark("xgeo-ingest", parallelism=args.local_cores)
+    else:
+        # under spark-submit the master/conf come from the submit command
+        spark = SparkSession.builder.appName("xgeo-ingest").getOrCreate()
+
+    table = ParquetLakeTable(spark, args.lake_dir)
+    pipe = CDCIngestPipeline(
+        spark,
+        args.feed_dir,
+        table,
+        lineage_path=args.lineage_dir,
+        config=IngestConfig(
+            n_buckets=args.n_buckets,
+            max_files_per_trigger=args.files_per_batch,
+            normalize_text=args.normalize_text,
+            lineage=args.lineage_dir is not None,
+            quarantine_dir=args.quarantine_dir,
+        ),
+    )
+
+    if args.mode == "batch":
+        # batch ids derive from file position (chunk i -> batch i), so a
+        # re-run over the same feed dir re-presents identical batch ids and
+        # the sink's idempotency check skips everything already committed —
+        # keep files_per_batch stable across re-runs of the same lake
+        stats = pipe.run_batch_replay(files_per_batch=args.files_per_batch)
+        for s in stats:
+            print(json.dumps(s.as_row()))
+    else:
+        pipe.run_stream(
+            checkpoint_dir=args.checkpoint_dir,
+            available_now=not args.continuous,
+        )
+    print(json.dumps({"final_version": table.current_version(),
+                      "rows": table.read().count()}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

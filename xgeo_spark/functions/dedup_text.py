@@ -29,25 +29,30 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-_MERSENNE_P = (1 << 61) - 1
+# 31-bit Mersenne prime: with a,b < 2^31 and crc32 inputs x < 2^32,
+# a*x + b < 2^63 + 2^31 fits uint64 exactly — the whole universal-hash
+# min-reduce stays in native uint64 numpy (no object/arbitrary-precision
+# ints, ~100x faster than a bigint path). 31-bit hash space is ample for
+# per-document shingle sets (collision prob ~ n_shingles^2 / 2^31).
+_MERSENNE_P = np.uint64((1 << 31) - 1)
 
 
 def _minhash_params(n_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE_P, size=n_hashes, dtype=np.int64)
-    b = rng.integers(0, _MERSENNE_P, size=n_hashes, dtype=np.int64)
+    a = rng.integers(1, int(_MERSENNE_P), size=n_hashes, dtype=np.uint64)
+    b = rng.integers(0, int(_MERSENNE_P), size=n_hashes, dtype=np.uint64)
     return a, b
 
 
 def make_minhash_udf(n_hashes: int = 64, shingle_k: int = 5, seed: int = 42):
     """Returns a pandas UDF: text -> array<long> minhash signature."""
     a, b = _minhash_params(n_hashes, seed)
+    a_col = a[:, None]
+    b_col = b[:, None]
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def minhash_sig(texts: pd.Series) -> pd.Series:
         out = []
-        a_col = a[:, None].astype(object)  # object to avoid int64 overflow
-        b_col = b[:, None].astype(object)
         for t in texts:
             if not isinstance(t, str) or len(t) < shingle_k:
                 out.append([0] * n_hashes)
@@ -56,11 +61,11 @@ def make_minhash_udf(n_hashes: int = 64, shingle_k: int = 5, seed: int = 42):
             shingles = {t[i : i + shingle_k] for i in range(len(t) - shingle_k + 1)}
             base = np.fromiter(
                 (zlib.crc32(s.encode("utf-8")) for s in shingles),
-                dtype=np.int64, count=len(shingles),
-            ).astype(object)
+                dtype=np.uint64, count=len(shingles),
+            )
             # universal hashing: (a*x + b) mod p, min over shingles per row
             hashed = (a_col * base[None, :] + b_col) % _MERSENNE_P
-            out.append([int(v) for v in hashed.min(axis=1)])
+            out.append(hashed.min(axis=1).astype(np.int64).tolist())
         return pd.Series(out)
 
     return minhash_sig

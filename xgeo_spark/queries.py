@@ -758,6 +758,68 @@ def emb_ann_lsh(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------- geodesic
+
+def geo_event_distance(spark, sf_dir):
+    """Geodesic scalar functions (SURVEY.md §2.2 parity: orb/geo distance)
+    as pure JVM column expressions. Synthetic coordinates are derived
+    arithmetically from event columns (the driver tables carry no lat/lon);
+    per-row DECIMAL quantization keeps the cross-engine sum exact and
+    order-independent despite libm last-ulp drift."""
+    from xgeo_spark.functions.geo import haversine_m
+
+    ev = _t(spark, sf_dir, "events")
+    lat = (F.col("user_id") % 170 - 85).cast("double") + F.lit(0.5)
+    lon = (F.col("event_id") % 360 - 180).cast("double") + F.lit(0.25)
+    dist_km = haversine_m(lat, lon, F.lit(0.0), F.lit(0.0)) / 1000.0
+    return (
+        ev.select("event_type", dist_km.cast("decimal(18,3)").alias("d"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("d").cast("double") / F.count(F.lit(1))).alias("avg_km_q"),
+            F.min("d").cast("double").alias("min_km_q"),
+            F.max("d").cast("double").alias("max_km_q"),
+        )
+        .orderBy("event_type")
+    )
+
+
+GEO_DIST_SQL = """
+WITH g AS (
+  SELECT event_type,
+         CAST(2 * 6371.0088 * ASIN(SQRT(
+             POW(SIN(RADIANS(0.0 - ((user_id % 170 - 85) + 0.5)) / 2), 2)
+             + COS(RADIANS((user_id % 170 - 85) + 0.5)) * COS(RADIANS(0.0))
+               * POW(SIN(RADIANS(0.0 - ((event_id % 360 - 180) + 0.25)) / 2), 2)
+         )) AS DECIMAL(18,3)) AS d
+  FROM events)
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(d) AS DOUBLE) / COUNT(*) AS avg_km_q,
+       CAST(MIN(d) AS DOUBLE) AS min_km_q,
+       CAST(MAX(d) AS DOUBLE) AS max_km_q
+FROM g GROUP BY event_type ORDER BY event_type
+"""
+
+
+def geo_olc_codes(spark, sf_dir):
+    """Open Location Code encode (SURVEY.md §2.2 parity) over synthetic
+    per-user coordinates; vectorized pandas UDF. Rows-only check —
+    encode correctness vs the published spec example is asserted in
+    tests/test_geo_functions.py."""
+    from xgeo_spark.functions.geo import olc_encode10
+
+    ev = _t(spark, sf_dir, "events")
+    lat = (F.col("user_id") % 170 - 85).cast("double") + F.lit(0.5)
+    lon = (F.col("user_id") % 360 - 180).cast("double") + F.lit(0.25)
+    return (
+        ev.select("user_id", lat.alias("lat"), lon.alias("lon"))
+        .distinct()
+        .withColumn("plus_code", olc_encode10(F.col("lat"), F.col("lon")))
+        .orderBy("user_id")
+    )
+
+
 def multimodal_decode(spark, sf_dir):
     """Binary media columns (image/audio/video) -> typed features through
     mapInPandas; decode itself is a deterministic stub (no media libs in the
@@ -824,6 +886,8 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "emb_cosine_topk": (emb_cosine_topk, EMB_COSINE_SQL),
     "emb_label_stats": (emb_label_stats, EMB_LABEL_SQL),
     "emb_ann_lsh": (emb_ann_lsh, None),
+    "geo_event_distance": (geo_event_distance, GEO_DIST_SQL),
+    "geo_olc_codes": (geo_olc_codes, None),
     "multimodal_decode": (multimodal_decode, None),
     "cdc_replay_small": (cdc_replay_small, None),
 }
