@@ -1,0 +1,117 @@
+"""Time travel, commit history, and snapshot expiry on the parquet lake."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pandas as pd
+import pytest
+
+from xgeo_spark.sinks.parquet_lake import ParquetLakeTable
+from xgeo_spark.streaming.pipeline import KEY_COLS, TRANSCRIPT_SCHEMA
+
+
+def _batch(spark, lsn0: int, texts: dict[int, str], op: str = "U"):
+    rows = [
+        {"lsn": lsn0 + i, "offset": lsn0 + i, "op": op, "conv_id": "c",
+         "turn_idx": t, "role": "user", "text": x, "tool": None,
+         "ts": dt.datetime(2026, 1, 1), "schema_version": 1}
+        for i, (t, x) in enumerate(sorted(texts.items()))
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = ParquetLakeTable(spark, str(tmp_path / "lake"))
+    t.create(TRANSCRIPT_SCHEMA, KEY_COLS, n_buckets=4)
+    t.merge(_batch(spark, 0, {0: "v1-a", 1: "v1-b"}), batch_id=0)
+    t.merge(_batch(spark, 10, {0: "v2-a"}), batch_id=1)
+    t.merge(_batch(spark, 20, {2: "v3-c"}), batch_id=2)
+    return t
+
+
+def test_time_travel_reads(table):
+    assert table.current_version() == 3
+    now = {r["turn_idx"]: r["text"] for r in table.read().collect()}
+    assert now == {0: "v2-a", 1: "v1-b", 2: "v3-c"}
+    v1 = {r["turn_idx"]: r["text"] for r in table.read(version=1).collect()}
+    assert v1 == {0: "v1-a", 1: "v1-b"}
+    v2 = {r["turn_idx"]: r["text"] for r in table.read(version=2).collect()}
+    assert v2 == {0: "v2-a", 1: "v1-b"}
+
+
+def test_history(table):
+    h = table.history()
+    assert [c["batch_id"] for c in h] == [0, 1, 2]
+    assert all("buckets_rewritten" in c for c in h)
+
+
+def test_expire_versions(table):
+    res = table.expire_versions(keep_last=2)
+    assert res["versions_expired"] == [0, 1]
+    assert set(res["versions_kept"]) == {2, 3}
+    # current state unchanged and fully readable after file GC
+    now = {r["turn_idx"]: r["text"] for r in table.read().collect()}
+    assert now == {0: "v2-a", 1: "v1-b", 2: "v3-c"}
+    # retained old version still time-travelable
+    assert table.read(version=2).count() == 2
+    # expired version gone
+    with pytest.raises(ValueError, match="not retained"):
+        table.read(version=1)
+    # expiring again is a no-op
+    assert table.expire_versions(keep_last=2)["data_files_removed"] == 0
+
+
+def test_compact_then_expire_removes_orphan_files(table, spark):
+    """Compaction folds deltas into a fresh base; expiry then GCs the
+    now-unreferenced delta generations."""
+    before_depth = table.delta_depth()
+    assert before_depth >= 1  # mor table with stacked deltas
+    stats = table.compact()
+    assert not stats.skipped
+    assert table.delta_depth() == 0
+    now = {r["turn_idx"]: r["text"] for r in table.read().collect()}
+    assert now == {0: "v2-a", 1: "v1-b", 2: "v3-c"}
+
+    root = table.root
+    before = sum(len(fs) for _, _, fs in os.walk(os.path.join(root, "data")))
+    table.expire_versions(keep_last=1)
+    after = sum(len(fs) for _, _, fs in os.walk(os.path.join(root, "data")))
+    assert after < before
+    now2 = {r["turn_idx"]: r["text"] for r in table.read().collect()}
+    assert now2 == {0: "v2-a", 1: "v1-b", 2: "v3-c"}
+    # compacting an already-compacted table is a no-op
+    assert table.compact().skipped
+
+
+def test_cow_and_mor_converge(spark, tmp_path):
+    """Same change stream applied in cow and mor modes yields the identical
+    final table (the modes differ only in physical layout)."""
+    from xgeo_spark.fixtures.generator import (
+        ChangeStreamConfig,
+        generate_change_events,
+        lww_oracle,
+        write_change_stream_parquet,
+    )
+    from xgeo_spark.streaming.pipeline import CDCIngestPipeline, IngestConfig
+
+    cfg = ChangeStreamConfig(n_events=5000, n_convs=80, seed=21, n_files=4)
+    feed = str(tmp_path / "feed")
+    write_change_stream_parquet(feed, cfg)
+    finals = {}
+    for mode in ("cow", "mor"):
+        t = ParquetLakeTable(spark, str(tmp_path / f"lake_{mode}"))
+        pipe = CDCIngestPipeline(
+            spark, feed, t,
+            config=IngestConfig(n_buckets=8, lineage=False, merge_mode=mode,
+                                compact_threshold=2),
+        )
+        pipe.run_batch_replay(files_per_batch=1)
+        finals[mode] = (
+            t.read().orderBy("conv_id", "turn_idx").toPandas().fillna("∅")
+        )
+    pd.testing.assert_frame_equal(finals["cow"], finals["mor"])
+    oracle = lww_oracle(generate_change_events(cfg))
+    assert finals["mor"]["text"].tolist() == oracle["text"].fillna("∅").tolist()

@@ -67,6 +67,25 @@ def brute_force_pairs_topk(
     return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
+def cosine_to_anchor_udf(anchor: list[float]):
+    """pandas UDF: embedding -> cosine similarity to a fixed anchor vector.
+    One numpy matmul per Arrow batch; float64 throughout."""
+    q = np.asarray(anchor, dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+
+    @pandas_udf(T.DoubleType())
+    def cos(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="float64")
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = (m @ q) / (norms * qn)
+        return pd.Series(out)
+
+    return cos
+
+
 def make_lsh_bucket_udf(dim: int, n_planes: int, seed: int = 42):
     """pandas UDF: embedding -> int bucket (sign bits of R @ v).
     One numpy matmul per Arrow batch."""

@@ -678,31 +678,17 @@ def _dot_sql(a: str, b: str) -> str:
 
 def emb_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k against an anchor vector (vec_id 0) — the
-    exact-ANN baseline. Dot products via zip_with/aggregate builtins in
-    double precision; NO Python in the loop."""
-    e = _t(spark, sf_dir, "embeddings").withColumn(
-        "emb_d", F.col("embedding").cast("array<double>")
-    )
-    anchor = e.filter(F.col("vec_id") == 0).select(
-        F.col("emb_d").alias("anchor_d")
-    )
-    dot = F.aggregate(
-        F.zip_with("emb_d", "anchor_d", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
+    exact-ANN baseline. One vectorized numpy matmul per Arrow batch (a
+    higher-order zip_with/aggregate version is ~50x slower: non-codegen
+    per-element expression evaluation). round(6) absorbs the pairwise-vs-
+    sequential float64 summation difference vs the DuckDB oracle."""
+    from xgeo_spark.functions.vectors import cosine_to_anchor_udf
+
+    e = _t(spark, sf_dir, "embeddings")
+    anchor = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    cos = cosine_to_anchor_udf([float(x) for x in anchor])
     return (
-        e.crossJoin(F.broadcast(anchor))
-        .select(
-            "vec_id",
-            "label",
-            F.round(dot / (norm(F.col("emb_d")) * norm(F.col("anchor_d"))), 6).alias(
-                "cosine"
-            ),
-        )
+        e.select("vec_id", "label", F.round(cos(F.col("embedding")), 6).alias("cosine"))
         .filter(F.col("vec_id") != 0)
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(20)

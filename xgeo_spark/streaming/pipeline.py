@@ -46,6 +46,12 @@ class IngestConfig:
     normalize_text: bool = False
     lineage: bool = True
     quarantine_dir: str | None = None
+    # merge strategy for tables THIS pipeline creates: "mor" keeps ingest
+    # O(batch) (deltas appended, compacted when any bucket stacks more than
+    # compact_threshold generations); "cow" rewrites touched buckets per
+    # batch (read-optimized). See sinks/parquet_lake.py.
+    merge_mode: str = "mor"
+    compact_threshold: int = 8
     extra: dict = field(default_factory=dict)
 
 
@@ -66,7 +72,12 @@ class CDCIngestPipeline:
             LineageLog(spark, lineage_path) if lineage_path and self.config.lineage else None
         )
         if not table.exists():
-            table.create(TRANSCRIPT_SCHEMA, KEY_COLS, n_buckets=self.config.n_buckets)
+            create_kwargs = {"n_buckets": self.config.n_buckets}
+            from xgeo_spark.sinks.parquet_lake import ParquetLakeTable
+
+            if isinstance(table, ParquetLakeTable):
+                create_kwargs["mode"] = self.config.merge_mode
+            table.create(TRANSCRIPT_SCHEMA, KEY_COLS, **create_kwargs)
 
     # ---------- the one batch applier ----------
 
@@ -161,6 +172,19 @@ class CDCIngestPipeline:
             cached.unpersist()
         if self.lineage is not None:
             self.lineage.append(stats, partition_rows, rows_quarantined=n_bad)
+
+        # amortized read-cost control for merge-on-read tables: fold deltas
+        # into the base once any bucket stacks compact_threshold generations.
+        # Runs AFTER the idempotent commit, as its own version — a crash
+        # between commit and compaction loses nothing (the next batch just
+        # compacts instead).
+        if (
+            not stats.skipped
+            and isinstance(self.table, ParquetLakeTable)
+            and self.table.manifest().get("mode") == "mor"
+            and self.table.delta_depth() >= self.config.compact_threshold
+        ):
+            self.table.compact()
         return stats
 
     # ---------- bounded replay (tests / bench) ----------
