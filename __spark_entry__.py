@@ -18,6 +18,8 @@ import os
 import sys
 from collections.abc import Callable
 
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")  # see xgeo_spark/__init__.py
+
 from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

@@ -35,6 +35,7 @@ import sys
 import tempfile
 import time
 
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")  # see xgeo_spark/__init__.py
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -78,17 +79,28 @@ def _cdc_config(sf: float):
     )
 
 
-def run_cdc_bench(spark, sf: float, workdir: str) -> dict:
-    """Replay the synthetic change stream; return events/sec applied."""
+def run_cdc_bench(spark, sf: float, workdir: str, feed_dir: str | None = None) -> dict:
+    """Replay the synthetic change stream; return events/sec applied.
+
+    ``feed_dir``: reuse an existing feed (the scaling run generates ONE
+    input and replays it at both parallelism levels — same job, same input,
+    per the scaling criterion)."""
     from xgeo_spark.fixtures.generator import write_change_stream_parquet
     from xgeo_spark.sinks.parquet_lake import ParquetLakeTable
     from xgeo_spark.streaming.pipeline import CDCIngestPipeline, IngestConfig
 
-    cfg = _cdc_config(sf)
-    feed_dir = os.path.join(workdir, "feed")
-    t_gen = time.perf_counter()
-    paths = write_change_stream_parquet(feed_dir, cfg)
-    gen_s = time.perf_counter() - t_gen
+    gen_s = 0.0
+    if feed_dir is None:
+        cfg = _cdc_config(sf)
+        feed_dir = os.path.join(workdir, "feed")
+        t_gen = time.perf_counter()
+        write_change_stream_parquet(feed_dir, cfg)
+        gen_s = time.perf_counter() - t_gen
+    paths = sorted(
+        os.path.join(feed_dir, f)
+        for f in os.listdir(feed_dir)
+        if f.endswith(".parquet")
+    )
 
     # duplicates make the on-disk count != cfg.n_events; read footers only
     import pyarrow.parquet as pq
@@ -130,14 +142,16 @@ def run_query_bench(spark, sf_dir: str) -> dict[str, float]:
     return timings
 
 
-def one_run(cpus: int, sf_dir: str, cdc_only: bool = False) -> dict:
+def one_run(
+    cpus: int, sf_dir: str, cdc_only: bool = False, feed_dir: str | None = None
+) -> dict:
     from xgeo_spark.session import get_spark
 
     sf = _sf_of(sf_dir)
     spark = get_spark("xgeo_bench", parallelism=cpus, shuffle_partitions=cpus)
     workdir = tempfile.mkdtemp(prefix=f"xgeo_bench_{cpus}_")
     try:
-        cdc = run_cdc_bench(spark, sf, workdir)
+        cdc = run_cdc_bench(spark, sf, workdir, feed_dir=feed_dir)
         queries = {} if cdc_only else run_query_bench(spark, sf_dir)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
@@ -154,29 +168,49 @@ def one_run(cpus: int, sf_dir: str, cdc_only: bool = False) -> dict:
     }
 
 
-def scaling_run(sf_dir: str) -> dict:
-    """Same job + input at local[8] and local[32]; report efficiency.
+def scaling_run(sf_dir: str, n_events: int) -> dict:
+    """Same job, same input, two parallelism levels; report efficiency.
 
-    Each leg runs in a fresh subprocess so the JVMs don't share state."""
+    The input is generated ONCE (deterministic, seed=42) and replayed by
+    both legs; each leg runs in a fresh subprocess (fresh JVM, fresh lake).
+    The input must be large enough that parallel work dominates per-batch
+    fixed overhead — Amdahl hides real scaling on toy inputs, which is also
+    why the default here is 20M events rather than the per-round bench's 2M.
+    """
+    from xgeo_spark.fixtures.generator import ChangeStreamConfig, write_change_stream_parquet
+
+    shared = tempfile.mkdtemp(prefix="xgeo_scaling_feed_")
+    feed_dir = os.path.join(shared, "feed")
+    cfg = ChangeStreamConfig(
+        n_events=n_events,
+        n_convs=max(200, n_events // 50),
+        seed=42,
+        n_files=16,
+    )
+    t0 = time.perf_counter()
+    write_change_stream_parquet(feed_dir, cfg)
+    gen_s = round(time.perf_counter() - t0, 1)
+
     legs = {}
-    for cpus in (8, 32):
-        out = os.path.join(tempfile.gettempdir(), f"xgeo_scaling_{cpus}.json")
-        subprocess.run(
-            [
-                sys.executable,
-                os.path.abspath(__file__),
-                "--cpus",
-                str(cpus),
-                "--cdc-only",
-                "--sf-dir",
-                sf_dir,
-                "--json-out",
-                out,
-            ],
-            check=True,
-        )
-        with open(out) as f:
-            legs[cpus] = json.load(f)
+    try:
+        for cpus in (8, 32):
+            out = os.path.join(tempfile.gettempdir(), f"xgeo_scaling_{cpus}.json")
+            subprocess.run(
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--cpus", str(cpus),
+                    "--cdc-only",
+                    "--sf-dir", sf_dir,
+                    "--feed-dir", feed_dir,
+                    "--json-out", out,
+                ],
+                check=True,
+            )
+            with open(out) as f:
+                legs[cpus] = json.load(f)
+    finally:
+        shutil.rmtree(shared, ignore_errors=True)
     tp8 = legs[8]["cdc"]["events_per_sec"]
     tp32 = legs[32]["cdc"]["events_per_sec"]
     eff = (tp32 / tp8) / (32 / 8)
@@ -185,7 +219,12 @@ def scaling_run(sf_dir: str) -> dict:
         "value": round(eff, 3),
         "unit": "ratio",
         "events_per_sec": {"local[8]": tp8, "local[32]": tp32},
+        "wall_s": {
+            "local[8]": legs[8]["cdc"]["wall_s"],
+            "local[32]": legs[32]["cdc"]["wall_s"],
+        },
         "events": legs[32]["cdc"]["events"],
+        "gen_s": gen_s,
         "sf": legs[32]["sf"],
         "pass": eff >= 0.8,
     }
@@ -198,13 +237,17 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--cdc-only", action="store_true")
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-events", type=int, default=20_000_000)
+    ap.add_argument("--feed-dir", default=None,
+                    help="replay an existing feed instead of generating one")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
 
     if args.scaling:
-        result = scaling_run(args.sf_dir)
+        result = scaling_run(args.sf_dir, args.scaling_events)
     else:
-        result = one_run(args.cpus, args.sf_dir, cdc_only=args.cdc_only)
+        result = one_run(args.cpus, args.sf_dir, cdc_only=args.cdc_only,
+                         feed_dir=args.feed_dir)
 
     line = json.dumps(result)
     if args.json_out:

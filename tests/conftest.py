@@ -3,6 +3,7 @@ import sys
 
 import pytest
 
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")  # see xgeo_spark/__init__.py
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from xgeo_spark.session import get_spark  # noqa: E402

@@ -17,4 +17,13 @@ Everything here is built on the public PySpark DataFrame/SQL/Streaming API.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# numpy >= 1.18 madvises MADV_HUGEPAGE on large allocations; on hosts where
+# synchronous transparent-huge-page compaction is slow (measured here:
+# ~250 ms PER 2 MB page -> a 160 MB array took 20 s to first-touch, 220x
+# the normal cost) that turns every big numpy/pandas allocation into a
+# stall. Must be set before numpy is first imported.
+_os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
 from xgeo_spark.session import get_spark  # noqa: F401

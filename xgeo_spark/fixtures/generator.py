@@ -30,9 +30,11 @@ optional .gz compression, exercising the suffix-dispatch decode path
 
 from __future__ import annotations
 
+import gc
 import gzip
 import json
 import os
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -63,6 +65,22 @@ def _sentence_bank(rng: np.random.Generator) -> np.ndarray:
     return np.array(out, dtype=object)
 
 
+@contextmanager
+def _gc_paused():
+    """Python's generational GC re-scans every live object each gen-2
+    collection; allocating tens of millions of strings makes that
+    quadratic (measured: 14s -> 426s for 4M -> 6M rows of string concat).
+    Nothing in the generator creates reference cycles, so pausing the
+    collector during generation is safe and restores linear scaling."""
+    was = gc.isenabled()
+    gc.disable()
+    try:
+        yield
+    finally:
+        if was:
+            gc.enable()
+
+
 @dataclass
 class ChangeStreamConfig:
     n_events: int = 10_000
@@ -82,74 +100,104 @@ class ChangeStreamConfig:
     extra: dict = field(default_factory=dict)
 
 
-def generate_change_events(cfg: ChangeStreamConfig) -> pd.DataFrame:
-    """Return the full event feed as one pandas DataFrame in ARRIVAL order.
+class _GlobalArtifacts:
+    """Stream-level deterministic state every slice derives from: the key
+    universe, Zipf weights, base-insert permutation, sentence bank, schema
+    cut. Computed identically (seeded) in every worker process, so slices
+    can be generated independently and in parallel."""
 
-    Columns: lsn int64, offset int64, op str, conv_id str, turn_idx int64,
-    role str, text str, tool str, ts datetime64[us], schema_version int32,
-    tool_meta str|None.
-    """
-    rng = np.random.default_rng(cfg.seed)
-    bank = _sentence_bank(rng)
+    def __init__(self, cfg: ChangeStreamConfig):
+        rng = np.random.default_rng(cfg.seed)
+        self.bank = _sentence_bank(rng)
+        n_convs = cfg.n_convs
+        turns_per_conv = 1 + rng.poisson(cfg.mean_turns, size=n_convs)
+        self.conv_ids = np.array(
+            [f"conv-{i:08d}" for i in range(n_convs)], dtype=object
+        )
+        self.key_conv = np.repeat(np.arange(n_convs), turns_per_conv)
+        self.n_keys = len(self.key_conv)
+        # turn index within each conversation, fully vectorized: global
+        # position minus the conversation's starting offset
+        starts = np.concatenate([[0], np.cumsum(turns_per_conv)[:-1]])
+        self.key_turn = np.arange(self.n_keys) - np.repeat(starts, turns_per_conv)
 
-    # --- key universe: conv_id with Zipf popularity, turn counts ~1+Poisson ---
-    n_convs = cfg.n_convs
-    turns_per_conv = 1 + rng.poisson(cfg.mean_turns, size=n_convs)
-    conv_ids = np.array([f"conv-{i:08d}" for i in range(n_convs)], dtype=object)
-    key_conv = np.repeat(np.arange(n_convs), turns_per_conv)
-    key_turn = np.concatenate([np.arange(t) for t in turns_per_conv])
-    n_keys = len(key_conv)
+        # Zipf weight per conversation -> hot keys
+        ranks = np.arange(1, n_convs + 1, dtype=np.float64)
+        conv_w = 1.0 / ranks ** cfg.zipf_s
+        key_w = conv_w[self.key_conv]
+        self.key_w = key_w / key_w.sum()
 
-    # Zipf weight per conversation -> hot keys
-    ranks = np.arange(1, n_convs + 1, dtype=np.float64)
-    conv_w = 1.0 / ranks ** cfg.zipf_s
-    key_w = conv_w[key_conv]
-    key_w /= key_w.sum()
+        # first n_keys events insert every key once (shuffled)
+        self.n_base = min(self.n_keys, cfg.n_events)
+        self.base_order = rng.permutation(self.n_keys)[: self.n_base]
+        self.cut = int(cfg.n_events * cfg.schema_change_at)
+        self.meta_pool = np.array(
+            ['{"latency_ms": %d, "retries": %d}' % (m, r_) for m, r_ in
+             zip(rng.integers(1, 5000, size=64), rng.integers(0, 3, size=64))],
+            dtype=object,
+        )
 
-    n = cfg.n_events
-    # first n_keys events insert every key once (shuffled), remainder sampled
-    n_base = min(n_keys, n)
-    base_order = rng.permutation(n_keys)[:n_base]
-    n_rest = max(0, n - n_base)
-    rest_keys = rng.choice(n_keys, size=n_rest, p=key_w)
-    key_idx = np.concatenate([base_order, rest_keys])
+
+def _slice_bounds(n_events: int, n_files: int) -> list[tuple[int, int]]:
+    edges = np.linspace(0, n_events, n_files + 1).astype(np.int64)
+    return [(int(edges[i]), int(edges[i + 1])) for i in range(n_files)]
+
+
+def _generate_slice(
+    cfg: ChangeStreamConfig, art: _GlobalArtifacts, lo: int, hi: int
+) -> pd.DataFrame:
+    """Events with lsn in [lo, hi), arrival-shuffled, duplicates injected.
+
+    Per-event randomness comes from ``default_rng([seed, lo])`` so any slice
+    is reproducible in isolation; duplicates and out-of-order jitter act
+    within the slice (slices = feed files, so redelivery/reordering inside a
+    file models the binlog-segment behavior; cross-file ordering is already
+    covered by lsn >> arrival decoupling at batch boundaries)."""
+    rng = np.random.default_rng([cfg.seed, lo])
+    n = hi - lo
+    lsn = np.arange(lo, hi, dtype=np.int64)  # commit order
+
+    in_base = lsn < art.n_base
+    n_rest = int((~in_base).sum())
+    key_idx = np.empty(n, dtype=np.int64)
+    key_idx[in_base] = art.base_order[lsn[in_base]]
+    if n_rest:
+        key_idx[~in_base] = rng.choice(art.n_keys, size=n_rest, p=art.key_w)
 
     op = np.full(n, "U", dtype=object)
-    op[:n_base] = "I"
+    op[in_base] = "I"
     r = rng.random(n_rest)
-    op[n_base:][r < cfg.delete_frac] = "D"
+    rest_ops = op[~in_base]
+    rest_ops[r < cfg.delete_frac] = "D"
+    op[~in_base] = rest_ops
 
-    lsn = np.arange(n, dtype=np.int64)  # commit order
-
-    conv = conv_ids[key_conv[key_idx]]
-    turn = key_turn[key_idx].astype(np.int64)
-    role = _ROLES[(key_turn[key_idx]) % 3]
+    conv = art.conv_ids[art.key_conv[key_idx]]
+    turn = art.key_turn[key_idx].astype(np.int64)
+    role = _ROLES[art.key_turn[key_idx] % 3]
     is_tool = role == "tool"
     tool = np.where(is_tool, _TOOLS[rng.integers(0, 3, size=n)], None)
 
-    # text varies per event so LWW picks are observable; suffix = lsn
-    text = pd.Series(bank[rng.integers(0, len(bank), size=n)]).str.cat(
-        pd.Series(lsn).astype(str), sep=" #"
-    ).to_numpy(dtype=object)
+    # text varies per event so LWW picks are observable; suffix = lsn.
+    # A plain comprehension (with the collector paused) beats pandas
+    # str.cat: object-string ufunc reduction churns the cycle GC.
+    sel = art.bank[rng.integers(0, len(art.bank), size=n)]
+    text = np.fromiter(
+        (f"{s} #{i}" for s, i in zip(sel.tolist(), lsn.tolist())),
+        dtype=object, count=n,
+    )
     text[op == "D"] = None
     role = np.where(op == "D", None, role)
     tool = np.where(op == "D", None, tool)
 
-    base = np.datetime64(cfg.base_ts, "us")
-    ts = base + (lsn * 1_000_000 + rng.integers(0, 1_000_000, size=n)).astype(
+    base_ts = np.datetime64(cfg.base_ts, "us")
+    ts = base_ts + (lsn * 1_000_000 + rng.integers(0, 1_000_000, size=n)).astype(
         "timedelta64[us]"
     )
 
-    cut = int(n * cfg.schema_change_at)
-    schema_version = np.where(lsn < cut, 1, 2).astype(np.int32)
-    meta_pool = np.array(
-        ['{"latency_ms": %d, "retries": %d}' % (m, r_) for m, r_ in
-         zip(rng.integers(1, 5000, size=64), rng.integers(0, 3, size=64))],
-        dtype=object,
-    )
+    schema_version = np.where(lsn < art.cut, 1, 2).astype(np.int32)
     tool_meta = np.where(
         (schema_version == 2) & is_tool & (op != "D"),
-        meta_pool[rng.integers(0, len(meta_pool), size=n)],
+        art.meta_pool[rng.integers(0, len(art.meta_pool), size=n)],
         None,
     )
 
@@ -181,8 +229,26 @@ def generate_change_events(cfg: ChangeStreamConfig) -> pd.DataFrame:
                               size=int(ooo.sum()))
     arrival_key = df["lsn"].to_numpy() + jitter
     df = df.iloc[np.argsort(arrival_key, kind="stable")].reset_index(drop=True)
-    df["offset"] = np.arange(len(df), dtype=np.int64)
+    # globally unique, per-file-monotone offsets (2x headroom for dups)
+    df["offset"] = lo * 2 + np.arange(len(df), dtype=np.int64)
     return df
+
+
+def generate_change_events(cfg: ChangeStreamConfig) -> pd.DataFrame:
+    """Return the full event feed as one pandas DataFrame in ARRIVAL order
+    (slice-concatenated — byte-identical to what the feed writers emit).
+
+    Columns: lsn int64, offset int64, op str, conv_id str, turn_idx int64,
+    role str, text str, tool str, ts datetime64[us], schema_version int32,
+    tool_meta str|None.
+    """
+    with _gc_paused():
+        art = _GlobalArtifacts(cfg)
+        parts = [
+            _generate_slice(cfg, art, lo, hi)
+            for lo, hi in _slice_bounds(cfg.n_events, cfg.n_files)
+        ]
+        return pd.concat(parts, ignore_index=True)
 
 
 def _write_jsonl(part: pd.DataFrame, path: str, compression: str | None) -> None:
@@ -213,41 +279,70 @@ def _clean(v):
 def write_change_stream(out_dir: str, cfg: ChangeStreamConfig) -> list[str]:
     """Write the feed as offset-ordered NDJSON files; return the file paths."""
     os.makedirs(out_dir, exist_ok=True)
-    df = generate_change_events(cfg)
     paths = []
-    splits = np.array_split(np.arange(len(df)), cfg.n_files)
     ext = ".jsonl.gz" if cfg.compression == "gzip" else ".jsonl"
-    for i, idx in enumerate(splits):
-        path = os.path.join(out_dir, f"events-{i:05d}{ext}")
-        _write_jsonl(df.iloc[idx], path, cfg.compression)
-        paths.append(path)
+    with _gc_paused():
+        art = _GlobalArtifacts(cfg)
+        for i, (lo, hi) in enumerate(_slice_bounds(cfg.n_events, cfg.n_files)):
+            path = os.path.join(out_dir, f"events-{i:05d}{ext}")
+            _write_jsonl(_generate_slice(cfg, art, lo, hi), path, cfg.compression)
+            paths.append(path)
     return paths
 
 
-def write_change_stream_parquet(out_dir: str, cfg: ChangeStreamConfig) -> list[str]:
-    """Parquet wire-format variant (faster to scan; used by the bench).
-
-    v1 files carry turn_idx as int32 and NO tool_meta column; v2 files carry
-    int64 + tool_meta — the honest schema-evolution-on-disk fixture.
-    """
+def _write_parquet_slice(args) -> str:
+    """Worker: generate slice i and write one parquet file (module-level so
+    multiprocessing can pickle it; artifacts recomputed from the seed)."""
+    cfg, lo, hi, path = args
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    os.makedirs(out_dir, exist_ok=True)
-    df = generate_change_events(cfg)
-    paths = []
-    splits = np.array_split(np.arange(len(df)), cfg.n_files)
-    for i, idx in enumerate(splits):
-        part = df.iloc[idx]
+    with _gc_paused():
+        art = _GlobalArtifacts(cfg)
+        part = _generate_slice(cfg, art, lo, hi)
         v2 = bool((part["schema_version"] == 2).any())
         if not v2:
             part = part.drop(columns=["tool_meta"])
             part = part.astype({"turn_idx": np.int32})
-        tbl = pa.Table.from_pandas(part, preserve_index=False)
-        path = os.path.join(out_dir, f"events-{i:05d}.parquet")
-        pq.write_table(tbl, path)
-        paths.append(path)
-    return paths
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), path)
+    return path
+
+
+def write_change_stream_parquet(
+    out_dir: str, cfg: ChangeStreamConfig, workers: int | None = None
+) -> list[str]:
+    """Parquet wire-format variant (faster to scan; used by the bench).
+
+    v1 files carry turn_idx as int32 and NO tool_meta column; v2 files carry
+    int64 + tool_meta — the honest schema-evolution-on-disk fixture.
+
+    ``workers > 1`` generates files in parallel processes — slices are
+    seeded independently (default_rng([seed, lo])), so the output is
+    identical regardless of worker count.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    jobs = [
+        (cfg, lo, hi, os.path.join(out_dir, f"events-{i:05d}.parquet"))
+        for i, (lo, hi) in enumerate(_slice_bounds(cfg.n_events, cfg.n_files))
+    ]
+    if workers is None:
+        workers = min(cfg.n_files, os.cpu_count() or 1) if cfg.n_events >= 1_000_000 else 1
+    if workers <= 1:
+        return [_write_parquet_slice(j) for j in jobs]
+    import multiprocessing as mp
+
+    # one BLAS/OpenMP thread per worker: otherwise every worker spins up a
+    # full set of spin-waiting math-lib threads (workers x cores threads ->
+    # measured 10M context switches/sec and a 48% sys-time collapse)
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS",
+                "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+    os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+    # fork, not spawn: spawn re-imports the caller's __main__, which fork-
+    # bombs any driver script lacking a main guard; fork just inherits the
+    # loaded interpreter (workers only touch numpy/pyarrow, never the JVM)
+    with mp.get_context("fork").Pool(workers) as pool:
+        return list(pool.map(_write_parquet_slice, jobs))
 
 
 def lww_oracle(events: pd.DataFrame) -> pd.DataFrame:

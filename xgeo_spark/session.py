@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import os
 
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")  # see xgeo_spark/__init__.py
+
 from pyspark.sql import SparkSession
 
 
@@ -50,6 +52,8 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
+        # propagate the huge-page workaround to Python UDF workers
+        .config("spark.executorEnv.NUMPY_MADVISE_HUGEPAGE", "0")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
