@@ -67,7 +67,7 @@ def _sf_of(sf_dir: str) -> float:
         return 0.1
 
 
-def _cdc_config(sf: float):
+def _cdc_config(sf: float, n_files: int = 16):
     from xgeo_spark.fixtures.generator import ChangeStreamConfig
 
     n_events = max(50_000, int(sf * 20_000_000))
@@ -75,7 +75,7 @@ def _cdc_config(sf: float):
         n_events=n_events,
         n_convs=max(200, int(n_events / 50)),
         seed=42,
-        n_files=16,
+        n_files=n_files,
     )
 
 
@@ -91,7 +91,7 @@ def run_cdc_bench(spark, sf: float, workdir: str, feed_dir: str | None = None) -
 
     gen_s = 0.0
     if feed_dir is None:
-        cfg = _cdc_config(sf)
+        cfg = _cdc_config(sf, n_files=64)  # 16 input tasks per batch
         feed_dir = os.path.join(workdir, "feed")
         t_gen = time.perf_counter()
         write_change_stream_parquet(feed_dir, cfg)
@@ -108,15 +108,19 @@ def run_cdc_bench(spark, sf: float, workdir: str, feed_dir: str | None = None) -
     n_events = sum(pq.read_metadata(p).num_rows for p in paths)
 
     table = ParquetLakeTable(spark, os.path.join(workdir, "lake"))
+    # normalize_text=True: the full decode path of the north star (every
+    # event's text through the vectorized pandas UDF), so the bench measures
+    # the pipeline a real ingest would run, not a scan-and-write shell.
     pipe = CDCIngestPipeline(
         spark,
         feed_dir,
         table,
         lineage_path=os.path.join(workdir, "lineage"),
-        config=IngestConfig(n_buckets=32),
+        config=IngestConfig(n_buckets=32, normalize_text=True),
     )
+    files_per_batch = max(1, len(paths) // 4)  # 4 batches regardless of layout
     t0 = time.perf_counter()
-    stats = pipe.run_batch_replay(files_per_batch=4)
+    stats = pipe.run_batch_replay(files_per_batch=files_per_batch)
     wall = time.perf_counter() - t0
     final_rows = table.read().count()
     return {
@@ -181,11 +185,14 @@ def scaling_run(sf_dir: str, n_events: int) -> dict:
 
     shared = tempfile.mkdtemp(prefix="xgeo_scaling_feed_")
     feed_dir = os.path.join(shared, "feed")
+    # 128 feed files -> 32 input tasks per batch: the scan/decode stages must
+    # expose at least as many tasks as the biggest leg has cores, or the
+    # small leg saturates the pipeline and efficiency reads as flat
     cfg = ChangeStreamConfig(
         n_events=n_events,
         n_convs=max(200, n_events // 50),
         seed=42,
-        n_files=16,
+        n_files=128,
     )
     t0 = time.perf_counter()
     write_change_stream_parquet(feed_dir, cfg)
