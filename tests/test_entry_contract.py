@@ -47,7 +47,11 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif s.dtype == object:
             out[c] = s.astype(str)
         elif pd.api.types.is_integer_dtype(s):
-            out[c] = s.astype("float64")  # unify int widths/unsigned
+            # Unify widths/signedness but stay integer: the driver's value
+            # hash distinguishes 99111 (Spark bigint) from 99111.0 (DuckDB
+            # HUGEINT→float64), so coercing int→float here would mask the
+            # exact class of bug that failed 3 driver rows in round 1.
+            out[c] = s.astype("int64")
     out = out.sort_values(by=list(out.columns), kind="stable").reset_index(drop=True)
     return out
 
@@ -57,6 +61,10 @@ def _values_equal(a: pd.DataFrame, b: pd.DataFrame) -> bool:
         return False
     for c in a.columns:
         av, bv = a[c], b[c]
+        # dtype-faithful: int-vs-float disagreement is a real mismatch (the
+        # driver's hash sees it), not something to coerce away.
+        if pd.api.types.is_float_dtype(av) != pd.api.types.is_float_dtype(bv):
+            return False
         if pd.api.types.is_float_dtype(av):
             ok = np.allclose(
                 av.fillna(math.nan), bv.fillna(math.nan),

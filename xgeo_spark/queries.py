@@ -288,7 +288,7 @@ def events_json_props(spark, sf_dir):
 
 EVENTS_JSON_SQL = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
 FROM events GROUP BY event_type ORDER BY event_type
@@ -351,9 +351,9 @@ WITH g AS (
   FROM events),
 s AS (
   SELECT user_id,
-         SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+         CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
              OVER (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM g)
 SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
 FROM s GROUP BY user_id ORDER BY user_id
@@ -508,7 +508,7 @@ def high_value_nations_having(spark, sf_dir):
 HAVING_SQL = f"""
 SELECT n_name, COUNT(*) AS n_customers,
        {_SQL_DEC_SUM.format(c='c_acctbal')} AS total_bal,
-       SUM(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS n_positive
+       CAST(SUM(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name HAVING COUNT(*) > 20 ORDER BY n_name
 """
