@@ -91,7 +91,9 @@ def run_cdc_bench(spark, sf: float, workdir: str, feed_dir: str | None = None) -
 
     gen_s = 0.0
     if feed_dir is None:
-        cfg = _cdc_config(sf, n_files=64)  # 16 input tasks per batch
+        cfg = _cdc_config(sf, n_files=128)  # 32 input tasks per batch: the
+        # scan/decode/normalize stage must expose >= cores tasks or half the
+        # machine idles through the most expensive stage
         feed_dir = os.path.join(workdir, "feed")
         t_gen = time.perf_counter()
         write_change_stream_parquet(feed_dir, cfg)
@@ -118,6 +120,21 @@ def run_cdc_bench(spark, sf: float, workdir: str, feed_dir: str | None = None) -
         lineage_path=os.path.join(workdir, "lineage"),
         config=IngestConfig(n_buckets=32, normalize_text=True),
     )
+
+    # Warmup (untimed, disclosed): replay the first feed file into a SCRATCH
+    # table so JIT compilation, whole-stage codegen, the parquet committer,
+    # and the 32-process Python UDF worker pool are all up before the clock
+    # starts. The metric is *sustained* events/sec — a streaming job at
+    # 10^10 events runs warm for 99.99% of its life; measuring cold-start in
+    # a 4-batch window would benchmark the JVM, not the pipeline.
+    warm_table = ParquetLakeTable(spark, os.path.join(workdir, "warm_lake"))
+    warm = CDCIngestPipeline(
+        spark, feed_dir, warm_table,
+        config=IngestConfig(n_buckets=32, normalize_text=True, lineage=False),
+    )
+    warm_batch = warm.source.read_batch(paths[:1])
+    warm.apply_batch(warm_batch, 0)
+
     files_per_batch = max(1, len(paths) // 4)  # 4 batches regardless of layout
     t0 = time.perf_counter()
     stats = pipe.run_batch_replay(files_per_batch=files_per_batch)

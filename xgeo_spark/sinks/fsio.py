@@ -1,0 +1,129 @@
+"""Driver-side filesystem IO through the Hadoop FileSystem API.
+
+Why: the lake's commit protocol (manifest read/write, written-file
+discovery, snapshot expiry) runs on the DRIVER, and a driver on a real
+cluster sees the table root through HDFS/S3A/GCS — not the local POSIX
+tree that ``os.listdir``/``os.replace`` assume. Routing every such access
+through ``org.apache.hadoop.fs.FileSystem`` (reached over the session's
+JVM gateway) makes the identical code path work on ``file:`` in tests and
+on object storage in production; only the root URI changes.
+
+Commit atomicity contract (see ParquetLakeTable): new files are written to
+a temp name then ``rename``-ed into place with overwrite=false — on HDFS
+and file: that rename is atomic and FAILS if the destination exists, which
+doubles as optimistic-concurrency detection (two drivers racing the same
+version lose deterministically). This is the same create-swap discipline
+Iceberg's HadoopTableOperations uses for version-hint-less commits.
+
+Per-call py4j overhead is ~0.1ms; callers batch listings per directory so
+a merge does O(buckets) calls, not O(files).
+"""
+
+from __future__ import annotations
+
+import posixpath
+import uuid
+
+
+class HadoopFS:
+    """Thin wrapper over one ``FileSystem`` instance for a table root."""
+
+    def __init__(self, spark, root: str):
+        self.spark = spark
+        self.root = root
+        jvm = spark._jvm
+        self._jvm = jvm
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        self._fs = self._Path(root).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+
+    # ---------- path helpers ----------
+
+    def _p(self, path: str):
+        return self._Path(path)
+
+    def join(self, *parts: str) -> str:
+        return posixpath.join(*parts)
+
+    # ---------- predicates ----------
+
+    def exists(self, path: str) -> bool:
+        return bool(self._fs.exists(self._p(path)))
+
+    def is_dir(self, path: str) -> bool:
+        p = self._p(path)
+        return bool(self._fs.exists(p) and self._fs.getFileStatus(p).isDirectory())
+
+    # ---------- listing ----------
+
+    def list_names(self, dir_path: str) -> list[str]:
+        """Immediate child names of a directory ([] if it doesn't exist)."""
+        p = self._p(dir_path)
+        if not self._fs.exists(p):
+            return []
+        return sorted(st.getPath().getName() for st in self._fs.listStatus(p))
+
+    def list_files_recursive(self, dir_path: str) -> list[str]:
+        """All file paths (relative to dir_path) under a directory tree."""
+        p = self._p(dir_path)
+        if not self._fs.exists(p):
+            return []
+        out = []
+        it = self._fs.listFiles(p, True)
+        base = self._fs.getFileStatus(p).getPath().toUri().getPath()
+        while it.hasNext():
+            fp = it.next().getPath().toUri().getPath()
+            out.append(posixpath.relpath(fp, base))
+        return sorted(out)
+
+    # ---------- read / write ----------
+
+    def read_text(self, path: str) -> str:
+        stream = self._fs.open(self._p(path))
+        try:
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+
+    def _write_stream(self, path: str, data: bytes) -> None:
+        out = self._fs.create(self._p(path), True)
+        try:
+            out.write(bytearray(data))
+        finally:
+            out.close()
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        """Non-atomic single-file write (callers use unique names)."""
+        self.mkdirs(posixpath.dirname(path))
+        self._write_stream(path, data)
+
+    def write_text_commit(self, path: str, content: str) -> None:
+        """Atomic-visibility write: temp file + rename with overwrite=false.
+
+        Raises FileExistsError if ``path`` already exists (lost a commit
+        race) — the caller surfaces this as a commit conflict."""
+        parent = posixpath.dirname(path)
+        self.mkdirs(parent)
+        tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+        self._write_stream(tmp, content.encode("utf-8"))
+        dst = self._p(path)
+        if self._fs.exists(dst) or not self._fs.rename(self._p(tmp), dst):
+            self._fs.delete(self._p(tmp), False)
+            raise FileExistsError(f"commit conflict: {path} already exists")
+
+    # ---------- mutation ----------
+
+    def mkdirs(self, path: str) -> None:
+        self._fs.mkdirs(self._p(path))
+
+    def delete(self, path: str, recursive: bool = False) -> bool:
+        return bool(self._fs.delete(self._p(path), recursive))
+
+    def delete_if_empty_dir(self, path: str) -> bool:
+        p = self._p(path)
+        if self._fs.exists(p) and len(self._fs.listStatus(p)) == 0:
+            return bool(self._fs.delete(p, False))
+        return False

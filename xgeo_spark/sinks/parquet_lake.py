@@ -10,9 +10,16 @@ implements, so swapping in real Iceberg is a config change.
 Physical layout (all data files immutable, commits are manifest swaps):
 
     <root>/
-      _latest                      # current version number (atomic rename)
       _versions/v<NNN>.json        # manifest per committed version
       data/v<NNN>/_bucket=<K>/*.parquet
+
+The CURRENT version is the highest committed manifest — discovered by
+listing ``_versions/``, never by a mutable pointer file. A commit is a
+write-to-temp + rename-with-overwrite=false of ``v<N>.json``: atomic on
+HDFS/file:, and two drivers racing version N deterministically leave one
+winner (the loser's rename fails → commit conflict). All driver-side IO
+goes through the Hadoop FileSystem API (see fsio.py), so the same code
+runs against file: in tests and HDFS/S3A on a cluster.
 
 Two merge strategies, selected at create() (Iceberg's copy-on-write vs
 merge-on-read, same trade-off):
@@ -35,15 +42,20 @@ Scale design (both modes):
   n_buckets)``) — the moral equivalent of Iceberg's ``bucket(N, conv_id)``
   hidden partitioning. At 100 TB you raise ``n_buckets`` (e.g. 4096) so each
   rewrite/compaction unit stays executor-sized.
+- **One shuffle per merge**: the batch is repartitioned by ``_bucket``
+  FIRST, and the LWW dedup groups on ``(_bucket, key...)`` — because
+  ``HashPartitioning(_bucket)`` satisfies the aggregate's clustered
+  distribution (``_bucket`` ⊆ grouping keys), Catalyst inserts no second
+  exchange, and each reducer task holds exactly the rows of its storage
+  bucket, which the write then emits via ``partitionBy`` with no further
+  movement. The previous plan (dedup shuffle on key, then a repartition
+  shuffle on bucket) moved the batch twice.
 - Deletes are tombstones (``_deleted`` + ``_lsn`` retained), so a late,
   lower-lsn update arriving AFTER a delete cannot resurrect the key —
   replay converges regardless of arrival order.
 - Idempotency: the manifest records ``last_batch_id``; merging a batch_id
   <= last committed is a no-op (streaming foreachBatch replays batches
   after a crash with the same batch_id).
-- Commit atomicity: manifest written to a temp file then ``os.replace``-d,
-  then ``_latest`` swapped the same way. A crash between data write and
-  manifest swap leaves orphan files, never a torn table.
 - ``_seq`` (the commit version that wrote each row) totally orders writers
   at equal lsn: a redelivered duplicate is identical anyway, and an update
   re-applied by replay wins over the base copy deterministically.
@@ -52,8 +64,8 @@ Scale design (both modes):
 from __future__ import annotations
 
 import json
-import os
-import uuid
+import posixpath
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -62,6 +74,7 @@ from pyspark.sql import types as T
 from xgeo_spark.operators.dedup import lww_dedup_agg
 from xgeo_spark.plans.schema_evolution import align_to_schema, evolve_schema
 from xgeo_spark.sinks.base import LakeTable, MergeStats
+from xgeo_spark.sinks.fsio import HadoopFS
 
 _SYS_FIELDS = [
     T.StructField("_lsn", T.LongType(), True),
@@ -69,48 +82,62 @@ _SYS_FIELDS = [
     T.StructField("_deleted", T.BooleanType(), True),
 ]
 
+_VERSION_RE = re.compile(r"^v(\d{12})\.json$")
+
 
 def _bucket_expr(conv_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(conv_col)), F.lit(n_buckets)).cast("int")
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed this version first (optimistic concurrency)."""
 
 
 class ParquetLakeTable(LakeTable):
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        self.fs = HadoopFS(spark, root)
 
     # ---------- manifest plumbing ----------
 
-    def _latest_path(self) -> str:
-        return os.path.join(self.root, "_latest")
+    def _versions_dir(self) -> str:
+        return posixpath.join(self.root, "_versions")
 
     def _manifest_path(self, version: int) -> str:
-        return os.path.join(self.root, "_versions", f"v{version:012d}.json")
+        return posixpath.join(self._versions_dir(), f"v{version:012d}.json")
+
+    def _list_versions(self) -> list[int]:
+        out = []
+        for name in self.fs.list_names(self._versions_dir()):
+            m = _VERSION_RE.match(name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
 
     def exists(self) -> bool:
-        return os.path.exists(self._latest_path())
+        return bool(self._list_versions())
 
     def current_version(self) -> int:
-        with open(self._latest_path()) as f:
-            return int(f.read().strip())
+        versions = self._list_versions()
+        if not versions:
+            raise FileNotFoundError(f"no committed versions under {self.root}")
+        return versions[-1]
+
+    def _load_manifest(self, version: int) -> dict:
+        return json.loads(self.fs.read_text(self._manifest_path(version)))
 
     def manifest(self) -> dict:
-        with open(self._manifest_path(self.current_version())) as f:
-            return json.load(f)
-
-    def _atomic_write(self, path: str, content: str) -> None:
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = f"{path}.tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            f.write(content)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, path)
+        return self._load_manifest(self.current_version())
 
     def _commit(self, manifest: dict) -> None:
         v = manifest["version"]
-        self._atomic_write(self._manifest_path(v), json.dumps(manifest, indent=1))
-        self._atomic_write(self._latest_path(), str(v))
+        try:
+            self.fs.write_text_commit(
+                self._manifest_path(v), json.dumps(manifest, indent=1)
+            )
+        except FileExistsError as e:
+            raise CommitConflictError(str(e)) from e
 
     # ---------- schema ----------
 
@@ -154,7 +181,7 @@ class ParquetLakeTable(LakeTable):
     # ---------- read ----------
 
     def _read_files(self, files: list[str], schema: T.StructType) -> DataFrame:
-        paths = [os.path.join(self.root, f) for f in files]
+        paths = [posixpath.join(self.root, f) for f in files]
         return self.spark.read.schema(schema).parquet(*paths)
 
     def _lww_reduce(self, df: DataFrame, key_cols: list[str]) -> DataFrame:
@@ -176,13 +203,11 @@ class ParquetLakeTable(LakeTable):
         if version is None:
             m = self.manifest()
         else:
-            path = self._manifest_path(version)
-            if not os.path.exists(path):
+            if not self.fs.exists(self._manifest_path(version)):
                 raise ValueError(
                     f"version {version} is not retained (expired or never existed)"
                 )
-            with open(path) as f:
-                m = json.load(f)
+            m = self._load_manifest(version)
         schema = self._physical_schema(
             T.StructType.fromJson(json.loads(m["schema"]))
         )
@@ -231,21 +256,36 @@ class ParquetLakeTable(LakeTable):
             for b in touched
             for f in (m["buckets"].get(str(b), []) + deltas.get(str(b), []))
         ]
-        combined = self._read_files(files, physical).withColumn(
-            "_bucket", _bucket_expr(key_cols[0], m["n_buckets"])
+        combined = (
+            self._read_files(files, physical)
+            .withColumn("_bucket", _bucket_expr(key_cols[0], m["n_buckets"]))
+            .repartition(max(len(touched), 1), "_bucket")
         )
-        reduced = self._lww_reduce(combined, key_cols)
+        # _bucket in the grouping keys → the repartition above satisfies the
+        # aggregate's distribution: one shuffle total, reducers co-located
+        # with the bucket layout the write needs.
+        reduced = self._lww_reduce(combined, ["_bucket"] + key_cols)
 
         version = m["version"] + 1
-        new_buckets, out_dir = self._write_buckets(reduced, touched, version, m)
+        written = self._write_buckets(reduced, version, m)
+        for b in touched:          # a bucket can dedup to zero files only if
+            written.setdefault(b, [])  # it held tombstone-free dups — keep key
         new_manifest = dict(m)
         new_manifest["version"] = version
-        new_manifest["buckets"] = new_buckets
+        new_manifest["buckets"] = {**m["buckets"], **{str(b): fl for b, fl in written.items()}}
         new_manifest["deltas"] = {
             b: [] if int(b) in set(touched) else fl for b, fl in deltas.items()
         }
         new_manifest["commits"] = (m.get("commits") or [])[-99:] + [
-            {"compaction": True, "buckets_rewritten": touched}
+            {
+                "batch_id": None,
+                "offset_range": None,
+                "buckets_rewritten": touched,
+                "rows_in": 0,
+                "deletes_in": 0,
+                "schema_changed": False,
+                "compaction": True,
+            }
         ]
         self._commit(new_manifest)
         return MergeStats(batch_id=None, version=version, buckets_touched=len(touched))
@@ -261,37 +301,35 @@ class ParquetLakeTable(LakeTable):
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         current = self.current_version()
-        vdir = os.path.join(self.root, "_versions")
-        versions = sorted(
-            int(fn[1:-5]) for fn in os.listdir(vdir)
-            if fn.startswith("v") and fn.endswith(".json")
-        )
+        versions = self._list_versions()
         keep = [v for v in versions if v > current - keep_last]
         drop = [v for v in versions if v <= current - keep_last]
 
         referenced: set[str] = set()
         for v in keep:
-            with open(self._manifest_path(v)) as f:
-                mv = json.load(f)
+            mv = self._load_manifest(v)
             for coll in (mv["buckets"], mv.get("deltas") or {}):
                 for fl in coll.values():
                     referenced.update(fl)
 
         for v in drop:
-            os.remove(self._manifest_path(v))
+            self.fs.delete(self._manifest_path(v))
 
         removed_files = 0
-        data_root = os.path.join(self.root, "data")
-        if os.path.isdir(data_root):
-            for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
-                for fn in filenames:
-                    full = os.path.join(dirpath, fn)
-                    rel = os.path.relpath(full, self.root)
-                    if fn.endswith(".parquet") and rel not in referenced:
-                        os.remove(full)
-                        removed_files += 1
-                if not os.listdir(dirpath):
-                    os.rmdir(dirpath)
+        data_root = posixpath.join(self.root, "data")
+        seen_dirs: set[str] = set()
+        for rel in self.fs.list_files_recursive(data_root):
+            if rel.endswith(".parquet") and posixpath.join("data", rel) not in referenced:
+                self.fs.delete(posixpath.join(data_root, rel))
+                removed_files += 1
+            seen_dirs.add(posixpath.dirname(rel))
+        # prune now-empty bucket/version dirs (deepest first)
+        for d in sorted(seen_dirs, key=lambda s: -s.count("/")):
+            cur = d
+            while cur not in ("", "."):
+                if not self.fs.delete_if_empty_dir(posixpath.join(data_root, cur)):
+                    break
+                cur = posixpath.dirname(cur)
         return {
             "versions_expired": drop,
             "versions_kept": keep,
@@ -300,34 +338,36 @@ class ParquetLakeTable(LakeTable):
 
     # ---------- merge ----------
 
-    def _write_buckets(
-        self, df: DataFrame, touched: list[int], version: int, m: dict
-    ) -> tuple[dict, str]:
-        """Write df (must carry _bucket) partitioned by bucket under the
-        version dir; return (updated bucket->files map, out_dir)."""
-        out_dir = os.path.join(self.root, "data", f"v{version:012d}")
+    def _write_buckets(self, df: DataFrame, version: int, m: dict) -> dict:
+        """Write df (must carry ``_bucket`` and already be partitioned by it)
+        under the version dir; discover what was written by listing the
+        output via the Hadoop FS API (cluster-safe — no driver-local POSIX
+        assumptions). Returns {bucket(int) -> [files written]}.
+        """
+        out_dir = posixpath.join(self.root, "data", f"v{version:012d}")
         (
-            df.repartition(max(len(touched), 1), "_bucket")
-            .sortWithinPartitions(*m["key_cols"])
+            # leading _bucket makes the requested ordering a suffix-match of
+            # the upstream sort-aggregate's (_bucket, key...) output order,
+            # so Catalyst elides this Sort entirely; per task (= one bucket)
+            # the physical row order is identical.
+            df.sortWithinPartitions("_bucket", *m["key_cols"])
             .write.mode("overwrite")
             .partitionBy("_bucket")
             .parquet(out_dir)
         )
-        new_buckets = dict(m["buckets"])
-        rel_out = os.path.relpath(out_dir, self.root)
-        for b in touched:
-            bdir = os.path.join(out_dir, f"_bucket={b}")
-            files = (
-                sorted(
-                    os.path.join(rel_out, f"_bucket={b}", fn)
-                    for fn in os.listdir(bdir)
-                    if fn.endswith(".parquet")
-                )
-                if os.path.isdir(bdir)
-                else []
+        rel_out = posixpath.join("data", f"v{version:012d}")
+        written: dict[int, list[str]] = {}
+        for name in self.fs.list_names(out_dir):
+            if not name.startswith("_bucket="):
+                continue
+            b = int(name.split("=", 1)[1])
+            files = sorted(
+                posixpath.join(rel_out, name, fn)
+                for fn in self.fs.list_names(posixpath.join(out_dir, name))
+                if fn.endswith(".parquet")
             )
-            new_buckets[str(b)] = files
-        return new_buckets, out_dir
+            written[b] = files
+        return written
 
     def merge(
         self,
@@ -357,11 +397,22 @@ class ParquetLakeTable(LakeTable):
         schema_changed = new_user != old_user
         physical = self._physical_schema(new_user)
 
-        # 2. in-batch LWW dedup (map-side partial agg; see operators/dedup.py)
-        deduped = lww_dedup_agg(updates, key_cols, "lsn", "ts")
+        conv_key = key_cols[0]
+        n_parts = max(1, len(touched_buckets) if touched_buckets else n_buckets)
+
+        # 2. ONE shuffle: bucket the raw batch, then LWW-dedup grouping on
+        # (_bucket, key...) — the repartition satisfies the aggregate's
+        # clustering (no second exchange) and leaves each reducer holding
+        # exactly one storage bucket for the partitionBy write below.
+        # (see operators/dedup.py for the max_by total order)
+        bucketed = updates.withColumn(
+            "_bucket", _bucket_expr(conv_key, n_buckets)
+        ).repartition(n_parts, "_bucket")
+        deduped = lww_dedup_agg(bucketed, ["_bucket"] + key_cols, "lsn", "ts")
         # shape to the evolved physical schema: missing columns -> typed
         # nulls, narrower batch types -> widened casts
         shaped = deduped.select(
+            F.col("_bucket"),
             *[
                 (F.col(f.name) if f.name in deduped.columns else F.lit(None))
                 .cast(f.dataType)
@@ -372,8 +423,6 @@ class ParquetLakeTable(LakeTable):
             F.lit(version).cast("long").alias("_seq"),
             (F.col("op") == F.lit("D")).alias("_deleted"),
         )
-        conv_key = key_cols[0]
-        shaped = shaped.withColumn("_bucket", _bucket_expr(conv_key, n_buckets))
 
         # batch-level row counts: taken from the pipeline's pre-aggregation
         # hints when present (zero extra work); else one small agg here.
@@ -390,51 +439,35 @@ class ParquetLakeTable(LakeTable):
                 "deletes_in": hint_row["deletes_in"] or 0,
             }
 
-        # 3. touched buckets: bounded-size collect (<= n_buckets ints);
-        #    the pipeline passes this as a hint computed inside its single
-        #    lineage pre-aggregation pass, saving a job
-        if touched_buckets is not None:
-            touched = sorted(touched_buckets)
-        else:
-            touched = sorted(
-                r[0] for r in shaped.select("_bucket").distinct().collect()
-            )
-        if not touched:
-            new_manifest = dict(m)
-            new_manifest["version"] = version
-            new_manifest["last_batch_id"] = batch_id if batch_id is not None else last
-            self._commit(new_manifest)
-            return MergeStats(batch_id=batch_id, version=version)
-
         if mode == "mor":
-            # 4m. append the deduped batch as delta files — O(batch) write,
-            # no read of existing data at all
-            out_dir = os.path.join(self.root, "data", f"v{version:012d}")
-            (
-                shaped.repartition(max(len(touched), 1), "_bucket")
-                .sortWithinPartitions(*key_cols)
-                .write.mode("overwrite")
-                .partitionBy("_bucket")
-                .parquet(out_dir)
-            )
-            rel_out = os.path.relpath(out_dir, self.root)
+            # 3m. append the deduped batch as delta files — O(batch) write,
+            # no read of existing data at all. Touched buckets are known
+            # EXACTLY from the files the write produced (listed via the FS
+            # API) — no extra distinct() job, no driver-local listdir.
+            written = self._write_buckets(shaped, version, m)
+            touched = sorted(written)
+            if not touched:
+                return self._commit_noop(m, version, batch_id, last)
             new_deltas = {b: list(fl) for b, fl in (m.get("deltas") or {}).items()}
-            for b in touched:
-                bdir = os.path.join(out_dir, f"_bucket={b}")
-                files = (
-                    sorted(
-                        os.path.join(rel_out, f"_bucket={b}", fn)
-                        for fn in os.listdir(bdir)
-                        if fn.endswith(".parquet")
-                    )
-                    if os.path.isdir(bdir)
-                    else []
-                )
+            for b, files in written.items():
                 new_deltas.setdefault(str(b), [])
                 new_deltas[str(b)].extend(files)
             new_buckets = dict(m["buckets"])
         else:
-            # 4c. copy-on-write: read ONLY touched buckets, reduce, rewrite
+            # 3c. copy-on-write: read ONLY touched buckets, reduce, rewrite.
+            # Requires the touched set up front (to know what to read): use
+            # the pipeline's hint or one bounded distinct (<= n_buckets ints).
+            if touched_buckets is not None:
+                touched = sorted(touched_buckets)
+            else:
+                touched = sorted(
+                    r[0]
+                    for r in updates.select(
+                        _bucket_expr(conv_key, n_buckets).alias("_b")
+                    ).distinct().collect()
+                )
+            if not touched:
+                return self._commit_noop(m, version, batch_id, last)
             old_physical = self._physical_schema(old_user)
             touched_files = [
                 f
@@ -451,9 +484,18 @@ class ParquetLakeTable(LakeTable):
                 combined = target.unionByName(shaped)
             else:
                 combined = shaped
-            final = self._lww_reduce(combined, key_cols)
-            new_buckets, _ = self._write_buckets(final, touched, version, m)
-            new_deltas = m.get("deltas") or {}
+            combined = combined.repartition(max(len(touched), 1), "_bucket")
+            final = self._lww_reduce(combined, ["_bucket"] + key_cols)
+            written = self._write_buckets(final, version, m)
+            new_buckets = dict(m["buckets"])
+            for b in touched:
+                new_buckets[str(b)] = written.get(b, [])
+            # the touched buckets' deltas were just folded into the new base:
+            # drop them so their rows aren't referenced twice
+            new_deltas = {
+                b: ([] if int(b) in set(touched) else list(fl))
+                for b, fl in (m.get("deltas") or {}).items()
+            }
 
         commit_info = {
             "batch_id": batch_id,
@@ -486,3 +528,10 @@ class ParquetLakeTable(LakeTable):
             offset_range=offset_range,
             schema_changed=schema_changed,
         )
+
+    def _commit_noop(self, m: dict, version: int, batch_id, last) -> MergeStats:
+        new_manifest = dict(m)
+        new_manifest["version"] = version
+        new_manifest["last_batch_id"] = batch_id if batch_id is not None else last
+        self._commit(new_manifest)
+        return MergeStats(batch_id=batch_id, version=version)

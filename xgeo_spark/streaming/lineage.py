@@ -11,13 +11,17 @@ the checkpointed source offsets is the strict upgrade.
 from __future__ import annotations
 
 import datetime as _dt
-import os
+import io
+import uuid
 
+import pyarrow as pa
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from xgeo_spark.sinks.base import MergeStats
+from xgeo_spark.sinks.fsio import HadoopFS
 
 LINEAGE_SCHEMA = T.StructType(
     [
@@ -36,10 +40,32 @@ LINEAGE_SCHEMA = T.StructType(
 )
 
 
+# arrow twin of LINEAGE_SCHEMA — the append path serializes on the driver
+# (a lineage batch is O(partitions) rows; spinning a Spark job per commit
+# cost ~0.3s/batch of pure scheduling) and uploads the parquet bytes via
+# the Hadoop FS API, so the log can live on HDFS/S3A like the table.
+_PA_SCHEMA = pa.schema(
+    [
+        ("batch_id", pa.int64()),
+        ("partition_id", pa.int32()),
+        ("offset_start", pa.int64()),
+        ("offset_end", pa.int64()),
+        ("rows_in", pa.int64()),
+        ("rows_upserted", pa.int64()),
+        ("rows_deleted", pa.int64()),
+        ("rows_quarantined", pa.int64()),
+        ("approx_bytes", pa.int64()),
+        ("skipped", pa.bool_()),
+        ("committed_at", pa.timestamp("us", tz="UTC")),
+    ]
+)
+
+
 class LineageLog:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        self.fs = HadoopFS(spark, path)
 
     def partition_metrics(self, batch_df: DataFrame) -> DataFrame:
         """One row per input partition: offsets covered, rows, approx bytes.
@@ -97,10 +123,18 @@ class LineageLog:
                 "committed_at": now,
             }
         )
-        df = self.spark.createDataFrame(rows, LINEAGE_SCHEMA)
-        df.coalesce(1).write.mode("append").parquet(self.path)
+        cols = {
+            name: [r[name] for r in rows] for name in _PA_SCHEMA.names
+        }
+        table = pa.Table.from_pydict(cols, schema=_PA_SCHEMA)
+        buf = io.BytesIO()
+        pq.write_table(table, buf)
+        self.fs.write_bytes(
+            self.fs.join(self.path, f"part-{uuid.uuid4().hex}.parquet"),
+            buf.getvalue(),
+        )
 
     def read(self) -> DataFrame:
-        if not os.path.exists(self.path):
+        if not self.fs.exists(self.path):
             return self.spark.createDataFrame([], LINEAGE_SCHEMA)
         return self.spark.read.schema(LINEAGE_SCHEMA).parquet(self.path)

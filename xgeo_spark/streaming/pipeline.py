@@ -83,12 +83,6 @@ class CDCIngestPipeline:
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int | None) -> MergeStats:
         good, bad = ChangeFeedSource.split_good_bad(batch_df)
-        # the batch is consumed twice (lineage pre-aggregation + merge);
-        # caching the decoded rows saves a full re-decode of the source
-        # files — for NDJSON feeds that second parse is the single biggest
-        # per-batch cost. Micro-batches are bounded, so MEMORY_AND_DISK is
-        # safe at any scale.
-        good = cached = good.persist()
 
         n_bad = 0
         if self.config.quarantine_dir is not None:
@@ -98,16 +92,19 @@ class CDCIngestPipeline:
             if n_bad:
                 bad.write.mode("append").json(self.config.quarantine_dir)
 
-        if self.config.normalize_text:
-            from xgeo_spark.functions.text import normalize_text
-
-            good = good.withColumn("text", normalize_text(F.col("text")))
-
         # ONE pre-aggregation pass over the batch computes everything the
         # driver needs before the merge: per-partition lineage metrics,
         # offset range, max schema_version (did v2 rows arrive yet?), and
         # the set of storage buckets the batch touches. All map-side
-        # combined on spark_partition_id — no meaningful shuffle.
+        # combined on spark_partition_id — no meaningful shuffle. The pass
+        # touches only 6 narrow columns, so column pruning reaches the scan
+        # (parquet reads ~none of the text bytes); this is deliberately
+        # CHEAPER than caching the batch — a persist would write+read the
+        # whole decoded batch through the memory store and, at 10^7-row
+        # micro-batches on real executors, compete with the shuffle for
+        # memory. Two scans, one of them skeletal, beat one scan + a
+        # materialized cache. (approx_bytes is therefore over the RAW text;
+        # it is an approximation either way.)
         from xgeo_spark.sinks.parquet_lake import ParquetLakeTable, _bucket_expr
 
         n_buckets = None
@@ -156,6 +153,11 @@ class CDCIngestPipeline:
         if "tool_meta" in good.columns and max_sv < 2:
             good = good.drop("tool_meta")
 
+        if self.config.normalize_text:
+            from xgeo_spark.functions.text import normalize_text
+
+            good = good.withColumn("text", normalize_text(F.col("text")))
+
         merge_kwargs = {
             "stats_hints": {
                 "rows_in": sum((r["rows_in"] or 0) for r in partition_rows),
@@ -164,12 +166,9 @@ class CDCIngestPipeline:
         }
         if touched is not None:
             merge_kwargs["touched_buckets"] = touched
-        try:
-            stats = self.table.merge(
-                good, batch_id=batch_id, offset_range=offset_range, **merge_kwargs
-            )
-        finally:
-            cached.unpersist()
+        stats = self.table.merge(
+            good, batch_id=batch_id, offset_range=offset_range, **merge_kwargs
+        )
         if self.lineage is not None:
             self.lineage.append(stats, partition_rows, rows_quarantined=n_bad)
 
