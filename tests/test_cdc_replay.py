@@ -72,16 +72,73 @@ def test_batch_replay_matches_oracle(spark, tmp_path, writer):
     assert (lin[lin.partition_id >= 0]["rows_in"] > 0).all()
 
 
-def test_gzip_feed(spark, tmp_path):
+@pytest.mark.parametrize("compression", ["gzip", "bzip2"])
+def test_compressed_feed(spark, tmp_path, compression):
+    """Suffix-dispatch decompression parity: reference unwraps .gz at
+    cmd/xgeo/main.go:29-32 and .bz2 at main.go:33-36; Spark's file source
+    decodes both by codec extension — the feed just has to be recognized."""
     cfg = ChangeStreamConfig(
-        n_events=4000, n_convs=80, seed=3, n_files=4, compression="gzip"
+        n_events=4000, n_convs=80, seed=3, n_files=4, compression=compression
     )
     feed = str(tmp_path / "feed")
-    write_change_stream(feed, cfg)
+    paths = write_change_stream(feed, cfg)
+    ext = {"gzip": ".jsonl.gz", "bzip2": ".jsonl.bz2"}[compression]
+    assert all(p.endswith(ext) for p in paths)
     table = ParquetLakeTable(spark, str(tmp_path / "lake"))
     pipe = CDCIngestPipeline(spark, feed, table, config=IngestConfig(n_buckets=8, lineage=False))
+    # nothing silently dropped: scan count == generated event count (incl.
+    # the duplicate_frac re-deliveries)
+    assert pipe.source.read_batch().count() == len(generate_change_events(cfg))
     pipe.run_batch_replay(files_per_batch=4)
     _assert_table_matches_oracle(table, generate_change_events(cfg))
+
+
+def test_quarantine_malformed_and_unknown_ops(spark, tmp_path):
+    """Reference nil-filter parity (cmd/xgeo/main.go:54-56), upgraded from
+    drop-silently to count-and-keep: malformed JSON rows and unknown op codes
+    land in the quarantine dir, good rows still apply, and the lineage row
+    carries the quarantined count."""
+    import json as _json
+
+    cfg = ChangeStreamConfig(n_events=2000, n_convs=40, seed=7, n_files=2)
+    feed = str(tmp_path / "feed")
+    write_change_stream(feed, cfg)
+    # corrupt the feed: append malformed JSON + an unknown op + a null conv_id
+    bad_lines = [
+        "{this is not json at all",
+        _json.dumps({"lsn": 10**9, "offset": 10**9, "op": "X",  # unknown op
+                     "conv_id": "conv-bad", "turn_idx": 0, "role": "user",
+                     "text": "x", "ts": "2026-01-01T00:00:00.000000",
+                     "schema_version": 1}),
+        _json.dumps({"lsn": 10**9 + 1, "offset": 10**9 + 1, "op": "I",
+                     "conv_id": None, "turn_idx": 0, "role": "user",  # null key
+                     "text": "x", "ts": "2026-01-01T00:00:00.000000",
+                     "schema_version": 1}),
+    ]
+    with open(str(tmp_path / "feed" / "events-00001.jsonl"), "a") as f:
+        for ln in bad_lines:
+            f.write(ln + "\n")
+
+    qdir = str(tmp_path / "quarantine")
+    table = ParquetLakeTable(spark, str(tmp_path / "lake"))
+    pipe = CDCIngestPipeline(
+        spark, feed, table, lineage_path=str(tmp_path / "lineage"),
+        config=IngestConfig(n_buckets=8, quarantine_dir=qdir),
+    )
+    pipe.run_batch_replay(files_per_batch=1)
+
+    # good rows still applied, table matches the uncorrupted oracle
+    _assert_table_matches_oracle(table, generate_change_events(cfg))
+
+    # all 3 bad rows are in the quarantine dir with their raw payload kept
+    quar = spark.read.json(qdir).toPandas()
+    assert len(quar) == 3
+    assert quar["_corrupt"].notna().sum() == 1          # the malformed line
+    assert (quar["op"] == "X").sum() == 1               # raw wire op preserved
+    # lineage summary row for batch 1 counts them
+    lin = pipe.lineage.read().toPandas()
+    summary = lin[(lin.partition_id == -1) & (lin.batch_id == 1)]
+    assert int(summary["rows_quarantined"].iloc[0]) == 3
 
 
 def test_idempotent_remerge(spark, tmp_path):

@@ -30,6 +30,7 @@ optional .gz compression, exercising the suffix-dispatch decode path
 
 from __future__ import annotations
 
+import bz2
 import gc
 import gzip
 import json
@@ -95,9 +96,19 @@ class ChangeStreamConfig:
     schema_change_at: float = 0.60     # fraction of stream where v2 starts
     zipf_s: float = 1.2                # conv_id hot-key skew
     n_files: int = 8
-    compression: str | None = None     # None | "gzip"
+    compression: str | None = None     # None | "gzip" | "bzip2"
     base_ts: str = "2026-01-01T00:00:00"
     extra: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        # Per-file offset bases reserve `lo * 2` headroom per slice, which
+        # guarantees globally-unique offsets only while < 100% of events are
+        # duplicated; reject configs that would silently break the
+        # (lsn, offset) tie-break contract.
+        if not 0.0 <= self.duplicate_frac < 1.0:
+            raise ValueError(
+                f"duplicate_frac must be in [0, 1), got {self.duplicate_frac}"
+            )
 
 
 class _GlobalArtifacts:
@@ -256,7 +267,7 @@ def _write_jsonl(part: pd.DataFrame, path: str, compression: str | None) -> None
     # time; JSON wire format is width-agnostic which is exactly the point.
     recs = part.copy()
     recs["ts"] = recs["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
-    opener = gzip.open if compression == "gzip" else open
+    opener = {"gzip": gzip.open, "bzip2": bz2.open}.get(compression, open)
     with opener(path, "wt", encoding="utf-8") as f:
         for row in recs.to_dict(orient="records"):
             if row.get("schema_version") == 1:
@@ -280,7 +291,7 @@ def write_change_stream(out_dir: str, cfg: ChangeStreamConfig) -> list[str]:
     """Write the feed as offset-ordered NDJSON files; return the file paths."""
     os.makedirs(out_dir, exist_ok=True)
     paths = []
-    ext = ".jsonl.gz" if cfg.compression == "gzip" else ".jsonl"
+    ext = {"gzip": ".jsonl.gz", "bzip2": ".jsonl.bz2"}.get(cfg.compression, ".jsonl")
     with _gc_paused():
         art = _GlobalArtifacts(cfg)
         for i, (lo, hi) in enumerate(_slice_bounds(cfg.n_events, cfg.n_files)):

@@ -2,7 +2,7 @@
 
 This is the target-engine analogue of the reference's whole reader layer:
 
-- suffix dispatch (.jsonl / .jsonl.gz / .parquet) mirrors
+- suffix dispatch (.jsonl / .jsonl.gz / .jsonl.bz2 / .parquet) mirrors
   /root/reference/cmd/xgeo/main.go:25-40 (".zip/.shp -> shapefile, .gz/.bz2
   unwrap, else geojson");
 - compressed NDJSON is decoded transparently by Spark's file source codecs,
@@ -78,7 +78,9 @@ class ChangeFeedSource:
     def _formats_present(self) -> set[str]:
         fmts = set()
         for fn in os.listdir(self.feed_dir):
-            if fn.endswith((".jsonl", ".jsonl.gz", ".json", ".json.gz")):
+            if fn.endswith(
+                (".jsonl", ".jsonl.gz", ".jsonl.bz2", ".json", ".json.gz", ".json.bz2")
+            ):
                 fmts.add("json")
             elif fn.endswith(".parquet"):
                 fmts.add("parquet")

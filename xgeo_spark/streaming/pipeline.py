@@ -192,7 +192,7 @@ class CDCIngestPipeline:
         files = sorted(
             os.path.join(self.source.feed_dir, f)
             for f in os.listdir(self.source.feed_dir)
-            if f.endswith((".jsonl", ".jsonl.gz", ".parquet"))
+            if f.endswith((".jsonl", ".jsonl.gz", ".jsonl.bz2", ".parquet"))
         )
         out = []
         bid = start_batch_id
