@@ -89,6 +89,66 @@ def bound_of_points(points: Column) -> Column:
     )
 
 
+def bound_around_point(lat: Column, lon: Column, distance_m: Column | float) -> Column:
+    """Bound centered on a point extending ``distance_m`` meters in every
+    direction (reference parity: orb/geo/bound.go:11 NewBoundAroundPoint).
+    Pure column expression: the longitude delta is asin(sin(d/R)/cos(lat)),
+    collapsing to the full-longitude band when a pole falls inside the
+    radius — same semantics as the reference."""
+    d = distance_m if isinstance(distance_m, Column) else F.lit(float(distance_m))
+    rad_dist = d / F.lit(EARTH_RADIUS_M)
+    rad_lat = F.radians(lat)
+    min_lat_r = rad_lat - rad_dist
+    max_lat_r = rad_lat + rad_dist
+    pole_free = (min_lat_r > F.lit(-np.pi / 2)) & (max_lat_r < F.lit(np.pi / 2))
+    delta_lon = F.degrees(F.asin(F.sin(rad_dist) / F.cos(rad_lat)))
+    min_lon = lon - delta_lon
+    max_lon = lon + delta_lon
+    return F.struct(
+        F.when(pole_free, F.when(min_lon < -180.0, min_lon + 360.0).otherwise(min_lon))
+        .otherwise(F.lit(-180.0)).alias("min_lon"),
+        F.when(pole_free, F.degrees(min_lat_r)).otherwise(F.lit(-90.0)).alias("min_lat"),
+        F.when(pole_free, F.when(max_lon > 180.0, max_lon - 360.0).otherwise(max_lon))
+        .otherwise(F.lit(180.0)).alias("max_lon"),
+        F.when(pole_free, F.degrees(max_lat_r)).otherwise(F.lit(90.0)).alias("max_lat"),
+    )
+
+
+# meters per degree of latitude, the flat-earth constant the reference uses
+# for pad/height (orb/geo/bound.go:44,66)
+_M_PER_DEG_LAT = 111131.75
+
+
+def bound_pad(bound: Column, meters: Column | float) -> Column:
+    """Expand a struct(min_lon, min_lat, max_lon, max_lat) bound by ``meters``
+    in all directions, clamped to the world (orb/geo/bound.go:43 BoundPad).
+    The longitude pad uses the wider of the two edge latitudes."""
+    m = meters if isinstance(meters, Column) else F.lit(float(meters))
+    dy = m / F.lit(_M_PER_DEG_LAT)
+    dx = F.greatest(
+        dy / F.cos(F.radians(bound["max_lat"])),
+        dy / F.cos(F.radians(bound["min_lat"])),
+    )
+    return F.struct(
+        F.greatest(bound["min_lon"] - dx, F.lit(-180.0)).alias("min_lon"),
+        F.greatest(bound["min_lat"] - dy, F.lit(-90.0)).alias("min_lat"),
+        F.least(bound["max_lon"] + dx, F.lit(180.0)).alias("max_lon"),
+        F.least(bound["max_lat"] + dy, F.lit(90.0)).alias("max_lat"),
+    )
+
+
+def bound_height_m(bound: Column) -> Column:
+    """Approximate bound height in meters (orb/geo/bound.go:64)."""
+    return F.lit(_M_PER_DEG_LAT) * (bound["max_lat"] - bound["min_lat"])
+
+
+def bound_width_m(bound: Column) -> Column:
+    """Approximate bound width in meters, measured along the center latitude
+    (orb/geo/bound.go:70): haversine between the two mid-height edges."""
+    c = (bound["min_lat"] + bound["max_lat"]) / 2.0
+    return haversine_m(c, bound["min_lon"], c, bound["max_lon"])
+
+
 def linestring_length_m(points: Column) -> Column:
     """Length in meters of array<struct<lon,lat>> — per-segment haversine
     via transform over the index sequence; stays in codegen."""
@@ -110,28 +170,79 @@ def linestring_length_m(points: Column) -> Column:
 
 # ---------------------------------------------------------------- pandas UDFs
 
+def _signed_ring_area_np(ring) -> float | None:
+    """Signed spherical ring area (m²): positive counterclockwise, negative
+    clockwise — the sign convention of the reference's SignedArea
+    (orb/geo/area.go:38). Implicitly closes the ring (np.roll wraps the last
+    point back to the first; an already-closed ring adds a degenerate
+    zero-area segment).
+
+    Chamberlain & Duquette: A = −R²/2 · Σ (λ₂−λ₁)(2 + sin φ₁ + sin φ₂)."""
+    if ring is None or len(ring) < 3:
+        return None
+    arr = np.asarray(
+        [[p["lon"], p["lat"]] if isinstance(p, dict) else [p[0], p[1]] for p in ring],
+        dtype=np.float64,
+    )
+    lon = np.radians(arr[:, 0])
+    lat = np.radians(arr[:, 1])
+    lon2, lat2 = np.roll(lon, -1), np.roll(lat, -1)
+    s = np.sum((lon2 - lon) * (2 + np.sin(lat) + np.sin(lat2)))
+    return -s * EARTH_RADIUS_M * EARTH_RADIUS_M / 2.0
+
+
+def _polygon_area_np(rings) -> float | None:
+    """|outer ring| minus Σ|holes| (orb/geo/area.go:83 polygonArea)."""
+    if rings is None or len(rings) == 0:
+        return None
+    outer = _signed_ring_area_np(rings[0])
+    if outer is None:
+        return None
+    total = abs(outer)
+    for hole in rings[1:]:
+        h = _signed_ring_area_np(hole)
+        if h is not None:
+            total -= abs(h)
+    return total
+
+
 @pandas_udf(T.DoubleType())
 def ring_area_m2(rings: pd.Series) -> pd.Series:
-    """Spherical polygon area (m²) of a single ring given as
-    array<struct<lon,lat>> (or array<array<double>> [lon,lat]).
+    """Absolute spherical area (m²) of a single ring given as
+    array<struct<lon,lat>> (or array<array<double>> [lon,lat]) —
+    reference Area() on a Ring (orb/geo/area.go:20)."""
+    return rings.map(
+        lambda r: None if (a := _signed_ring_area_np(r)) is None else abs(a)
+    )
 
-    Chamberlain & Duquette: A = |R²/2 · Σ (λ₂−λ₁)(2 + sin φ₁ + sin φ₂)|,
-    vectorized per ring with numpy."""
 
-    def _area(ring) -> float | None:
-        if ring is None or len(ring) < 3:
+@pandas_udf(T.DoubleType())
+def signed_ring_area_m2(rings: pd.Series) -> pd.Series:
+    """Signed spherical ring area: negative when the ring winds clockwise
+    (orb/geo/area.go:38 SignedArea)."""
+    return rings.map(_signed_ring_area_np)
+
+
+@pandas_udf(T.DoubleType())
+def polygon_area_m2(polygons: pd.Series) -> pd.Series:
+    """Polygon-with-holes area: array<array<struct<lon,lat>>> where element 0
+    is the outer ring and the rest are holes (orb/geo/area.go:83)."""
+    return polygons.map(_polygon_area_np)
+
+
+@pandas_udf(T.DoubleType())
+def multipolygon_area_m2(mps: pd.Series) -> pd.Series:
+    """MultiPolygon area: array<array<array<struct<lon,lat>>>>, the sum of
+    the member polygon areas (orb/geo/area.go:96)."""
+
+    def _mp(polys) -> float | None:
+        if polys is None:
             return None
-        arr = np.asarray(
-            [[p["lon"], p["lat"]] if isinstance(p, dict) else [p[0], p[1]] for p in ring],
-            dtype=np.float64,
-        )
-        lon = np.radians(arr[:, 0])
-        lat = np.radians(arr[:, 1])
-        lon2, lat2 = np.roll(lon, -1), np.roll(lat, -1)
-        s = np.sum((lon2 - lon) * (2 + np.sin(lat) + np.sin(lat2)))
-        return abs(s) * EARTH_RADIUS_M * EARTH_RADIUS_M / 2.0
+        areas = [_polygon_area_np(p) for p in polys]
+        areas = [a for a in areas if a is not None]
+        return sum(areas) if areas else None
 
-    return rings.map(_area)
+    return mps.map(_mp)
 
 
 # --- Open Location Code (plus codes), from the public spec -------------------
@@ -188,4 +299,174 @@ def olc_decode_center(codes: pd.Series) -> pd.DataFrame:
     decoded = codes.map(_dec)
     return pd.DataFrame(
         {"lat": [d[0] for d in decoded], "lon": [d[1] for d in decoded]}
+    )
+
+
+# Height/width in degrees of the cell encoded by each OLC digit PAIR,
+# most-significant first (public spec: each pair divides by 20).
+_OLC_PAIR_RES = [20.0 ** (1 - i) for i in range(5)]  # 20, 1, .05, .0025, .000125
+_OLC_IDX = {c: i for i, c in enumerate("23456789CFGHJMPQRVWX")}
+
+
+def _olc_encode_one(lat: float, lon: float) -> str:
+    la = min(max(lat, -90.0), 90.0)
+    lo = ((lon + 180.0) % 360.0) - 180.0
+    la_u = min(int(np.floor((la + 90.0) * 8000.0)), 180 * 8000 - 1)
+    lo_u = min(int(np.floor((lo + 180.0) * 8000.0)), 360 * 8000 - 1)
+    alpha = "23456789CFGHJMPQRVWX"
+    chars = []
+    for i in range(5):
+        shift = 20 ** (4 - i)
+        chars.append(alpha[(la_u // shift) % 20])
+        chars.append(alpha[(lo_u // shift) % 20])
+    return "".join(chars[:8]) + "+" + "".join(chars[8:])
+
+
+def _olc_center_one(code: str) -> tuple[float, float] | None:
+    digits = [ch for ch in code.upper() if ch != "+"]
+    if len(digits) != 10 or any(d not in _OLC_IDX for d in digits):
+        return None
+    la_u = lo_u = 0
+    for d_lat, d_lon in zip(digits[0::2], digits[1::2]):
+        la_u = la_u * 20 + _OLC_IDX[d_lat]
+        lo_u = lo_u * 20 + _OLC_IDX[d_lon]
+    return (la_u / 8000.0 - 90.0 + 1 / 16000.0, lo_u / 8000.0 - 180.0 + 1 / 16000.0)
+
+
+@pandas_udf(T.StringType())
+def olc_shorten(codes: pd.Series, lat: pd.Series, lon: pd.Series) -> pd.Series:
+    """Shorten a full 10-digit plus code relative to a reference location
+    (public OLC spec; reference vendored it at
+    open-location-code/go/shorten.go:31). The number of leading digit pairs
+    removed depends on how close the reference is to the code center: within
+    0.3× of a pair's cell size, that pair (and all coarser ones) can go.
+    At least 4 and at most 8 characters are removed; codes too far from the
+    reference are returned unchanged."""
+
+    def _short(code, la, lo):
+        if not isinstance(code, str) or la is None or lo is None:
+            return code
+        c = _olc_center_one(code)
+        if c is None:
+            return code
+        la_c = min(max(float(la), -90.0), 90.0)
+        lo_c = ((float(lo) + 180.0) % 360.0) - 180.0
+        distance = max(abs(c[0] - la_c), abs(c[1] - lo_c))
+        # finest (most-trimmed) first: i=3 trims 8 chars, i=1 trims 4
+        for i in range(len(_OLC_PAIR_RES) - 2, 0, -1):
+            if distance < _OLC_PAIR_RES[i] * 0.3:
+                return code.upper()[(i + 1) * 2:]
+        return code.upper()
+
+    return pd.Series(
+        [_short(c, la, lo) for c, la, lo in zip(codes, lat, lon)], dtype=object
+    )
+
+
+@pandas_udf(T.StringType())
+def olc_recover_nearest(codes: pd.Series, lat: pd.Series, lon: pd.Series) -> pd.Series:
+    """Recover the nearest full plus code matching a shortened one
+    (open-location-code/go/shorten.go:101 RecoverNearest): prepend the
+    reference location's leading digits, then snap the decoded center by one
+    padded-cell size toward the reference if it landed more than half a cell
+    away. Full codes pass through unchanged."""
+
+    def _recover(code, la, lo):
+        if not isinstance(code, str) or la is None or lo is None:
+            return code
+        code = code.upper()
+        sep = code.find("+")
+        if sep == 8:  # already full
+            return code
+        if sep < 0 or sep % 2 or sep > 6:
+            return code
+        la_c = min(max(float(la), -90.0), 90.0)
+        lo_c = ((float(lo) + 180.0) % 360.0) - 180.0
+        pad_len = 8 - sep
+        resolution = 20.0 ** (2 - pad_len // 2)
+        half_res = resolution / 2.0
+        candidate = _olc_encode_one(la_c, lo_c)[:pad_len] + code
+        center = _olc_center_one(candidate)
+        if center is None:
+            return code
+        c_lat, c_lon = center
+        if la_c + half_res < c_lat and c_lat - resolution >= -90.0:
+            c_lat -= resolution
+        elif la_c - half_res > c_lat and c_lat + resolution <= 90.0:
+            c_lat += resolution
+        if lo_c + half_res < c_lon:
+            c_lon -= resolution
+        elif lo_c - half_res > c_lon:
+            c_lon += resolution
+        return _olc_encode_one(c_lat, c_lon)
+
+    return pd.Series(
+        [_recover(c, la, lo) for c, la, lo in zip(codes, lat, lon)], dtype=object
+    )
+
+
+# --- simplification (orb/simplify parity) ------------------------------------
+
+_POINT_ARRAY = T.ArrayType(
+    T.StructType(
+        [T.StructField("lon", T.DoubleType()), T.StructField("lat", T.DoubleType())]
+    )
+)
+
+
+def _dp_mask(arr: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas-Peucker keep-mask over an (N, 2) lon/lat array, iterative
+    stack (no recursion-depth limit), perpendicular distances vectorized per
+    segment with numpy. Planar distance in coordinate units — the same
+    space the reference's simplifier measures in (orb/simplify/, which uses
+    planar.DistanceFromSegmentSquared)."""
+    n = len(arr)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    tol2 = tol * tol
+    stack = [(0, n - 1)]
+    while stack:
+        lo, hi = stack.pop()
+        if hi - lo < 2:
+            continue
+        seg = arr[lo + 1 : hi]
+        a, b = arr[lo], arr[hi]
+        ab = b - a
+        denom = ab @ ab
+        if denom == 0.0:
+            d2 = ((seg - a) ** 2).sum(axis=1)
+        else:
+            t = np.clip(((seg - a) @ ab) / denom, 0.0, 1.0)
+            proj = a + t[:, None] * ab
+            d2 = ((seg - proj) ** 2).sum(axis=1)
+        imax = int(np.argmax(d2))
+        if d2[imax] > tol2:
+            mid = lo + 1 + imax
+            keep[mid] = True
+            stack.append((lo, mid))
+            stack.append((mid, hi))
+    return keep
+
+
+@pandas_udf(_POINT_ARRAY)
+def simplify_dp(points: pd.Series, tolerance: pd.Series) -> pd.Series:
+    """Douglas-Peucker line simplification over array<struct<lon,lat>> with
+    a per-row tolerance in coordinate degrees (orb/simplify/douglas_peucker.go
+    parity). Endpoints are always kept; rows with < 3 points pass through."""
+
+    def _simp(pts, tol):
+        if pts is None:
+            return None
+        if len(pts) < 3 or tol is None:
+            return [
+                {"lon": float(p["lon"]), "lat": float(p["lat"])} for p in pts
+            ]
+        arr = np.asarray([[p["lon"], p["lat"]] for p in pts], dtype=np.float64)
+        keep = _dp_mask(arr, float(tol))
+        return [
+            {"lon": float(x), "lat": float(y)} for x, y in arr[keep]
+        ]
+
+    return pd.Series(
+        [_simp(p, t) for p, t in zip(points, tolerance)], dtype=object
     )
