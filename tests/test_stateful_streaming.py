@@ -60,7 +60,7 @@ def test_conversation_progress_stream(spark, tmp_path):
         assert got["n_deletes"] == row["n_deletes"], conv_id
         assert got["max_lsn"] == row["max_lsn"], conv_id
         assert got["max_turn_idx"] == row["max_turn_idx"], conv_id
-        assert got["n_turns_seen"] == row["max_turn_idx"] + 1, conv_id
+        assert got["turn_span"] == row["max_turn_idx"] + 1, conv_id
         ts_us = int(
             pd.to_datetime(ev[ev.conv_id == conv_id]["ts"].max()).value // 1000
         )

@@ -116,8 +116,60 @@ def test_simhash_hamming(spark):
     )
     got = {
         (r["id_a"], r["id_b"]): r["hamming"]
-        for r in simhash_near_pairs(df, "doc_id", "text", prefix_bits=8).collect()
+        for r in simhash_near_pairs(df, "doc_id", "text", n_bands=4).collect()
     }
     assert got[(0, 1)] == 0
     if (0, 2) in got:
         assert got[(0, 2)] > 0
+
+
+def test_simhash_band_recall_vs_exact(spark):
+    """Pigeonhole guarantee: with n_bands bands, EVERY pair within hamming
+    distance <= n_bands-1 must be a candidate — including pairs whose
+    differing bits sit in the top prefix, the round-1 single-prefix recall
+    gap."""
+    import itertools
+
+    from xgeo_spark.functions.dedup_text import (
+        simhash_near_pairs,
+        simhash_signatures,
+    )
+
+    # long docs with a large distinct vocabulary: substituting k words flips
+    # O(k) simhash bits at positions spread uniformly over the 64-bit space
+    # (some land in the top prefix). Graded k gives pairs on both sides of
+    # the max_hamming cut.
+    base_words = [f"w{i:04d}" for i in range(4000)]
+    docs = [(0, " ".join(base_words))]
+    for i in range(1, 9):
+        ws = list(base_words)
+        for j in range(5 * i):
+            ws[(i * 37 + j * 101) % len(ws)] = ws[(i * 37 + j * 101) % len(ws)] + "x"
+        docs.append((i, " ".join(ws)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    n_bands = 4
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_signatures(df, "doc_id", "text").collect()
+    }
+    exact_near = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= n_bands - 1
+    }
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_pairs(df, "doc_id", "text", n_bands=n_bands).collect()
+    }
+    assert exact_near, "fixture produced no near pairs; weaken substitutions"
+    assert exact_near <= cand  # guaranteed recall, no misses
+
+    # max_hamming post-filter keeps exactly the within-distance pairs
+    filtered = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_pairs(
+            df, "doc_id", "text", n_bands=n_bands, max_hamming=n_bands - 1
+        ).collect()
+    }
+    assert filtered == exact_near

@@ -3,8 +3,8 @@
 The reference has no stateful operators at all (SURVEY.md §2.3); this is
 the target-engine capability the task brief calls "custom stateful
 operators": `applyInPandasWithState` keeps one state row per conv_id
-across micro-batches — turns seen, max lsn applied, deletes seen, last
-activity timestamp — and emits the updated snapshot for every conversation
+across micro-batches — turn-span high-water mark, max lsn applied, deletes
+seen, last activity timestamp — and emits the updated snapshot for every conversation
 touched by the batch. Downstream consumers (monitoring, conversation-
 completeness checks) read the emitted stream without rescanning the lake.
 
@@ -29,7 +29,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("n_events", T.LongType()),
-        T.StructField("n_turns_seen", T.LongType()),
+        T.StructField("turn_span", T.LongType()),
         T.StructField("n_deletes", T.LongType()),
         T.StructField("max_lsn", T.LongType()),
         T.StructField("max_turn_idx", T.LongType()),
@@ -41,7 +41,7 @@ OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("conv_id", T.StringType()),
         T.StructField("n_events", T.LongType()),
-        T.StructField("n_turns_seen", T.LongType()),
+        T.StructField("turn_span", T.LongType()),
         T.StructField("n_deletes", T.LongType()),
         T.StructField("max_lsn", T.LongType()),
         T.StructField("max_turn_idx", T.LongType()),
@@ -72,21 +72,19 @@ def _update_conv_state(
         n_events = n_turns = n_del = 0
         max_lsn = max_turn = last_ts = -1
 
-    turns: set[int] = set()
     for pdf in pdfs:
         n_events += len(pdf)
         n_del += int((pdf["op"] == "D").sum())
-        turns.update(int(t) for t in pdf["turn_idx"].dropna())
         if len(pdf):
             max_lsn = max(max_lsn, int(pdf["lsn"].max()))
             max_turn = max(max_turn, int(pdf["turn_idx"].max()))
             ts_us = (pdf["ts"].astype("datetime64[us]").astype("int64")).max()
             last_ts = max(last_ts, int(ts_us))
-    # n_turns_seen counts distinct turn_idx ever touched; the per-batch set
-    # union with history is approximated by max_turn+1 when contiguous —
-    # we store the exact running count by adding only turns beyond the
-    # previous max (inserts are contiguous in the fixture; late updates to
-    # old turns don't inflate the count).
+    # turn_span is a HIGH-WATER MARK (max turn_idx seen + 1), not a distinct
+    # count: an exact distinct count would need per-key set/sketch state,
+    # breaking this operator's O(1)-scalars-per-conversation bound. For
+    # contiguous inserts (the common case) span == count; arrival gaps make
+    # span an upper bound.
     n_turns = max(n_turns, max_turn + 1)
 
     state.update((n_events, n_turns, n_del, max_lsn, max_turn, last_ts))
