@@ -1,0 +1,66 @@
+"""CLI entry-point coverage (reference parity: the one-binary driver at
+cmd/xgeo/main.go:14-19 plus kingpin flag parsing, SURVEY.md §2.1 #1 /
+§2.2 #9): flag validation without Spark, and one end-to-end batch ingest
+driven entirely through ``cli.main`` with its JSON stdout contract."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from xgeo_spark.cli import build_parser, main
+from xgeo_spark.fixtures.generator import (
+    ChangeStreamConfig,
+    generate_change_events,
+    lww_oracle,
+    write_change_stream,
+)
+
+
+def test_parser_required_and_defaults():
+    p = build_parser()
+    with pytest.raises(SystemExit):  # --feed-dir/--lake-dir are required
+        p.parse_args([])
+    args = p.parse_args(["--feed-dir", "/f", "--lake-dir", "/l"])
+    assert args.mode == "stream"
+    assert args.n_buckets == 64
+    assert args.files_per_batch == 4
+    assert not args.normalize_text and not args.continuous
+
+
+def test_stream_mode_requires_checkpoint(capsys):
+    rc = main(["--feed-dir", "/f", "--lake-dir", "/l", "--mode", "stream"])
+    assert rc == 2
+    assert "--checkpoint-dir" in capsys.readouterr().err
+
+
+def test_cli_batch_ingest_end_to_end(spark, tmp_path, capsys):
+    # `spark` fixture keeps the session getOrCreate()-able for the CLI path
+    cfg = ChangeStreamConfig(n_events=3000, n_convs=60, seed=5, n_files=2)
+    feed = str(tmp_path / "feed")
+    write_change_stream(feed, cfg)
+    lake = str(tmp_path / "lake")
+
+    rc = main([
+        "--feed-dir", feed, "--lake-dir", lake, "--mode", "batch",
+        "--files-per-batch", "1", "--n-buckets", "8",
+        "--lineage-dir", str(tmp_path / "lineage"),
+    ])
+    assert rc == 0
+    lines = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    *stats, summary = lines
+    assert len(stats) == 2 and not any(s["skipped"] for s in stats)
+    expected = lww_oracle(generate_change_events(cfg))
+    assert summary["rows"] == len(expected)
+
+    # re-running the same command is a no-op (idempotent batch ids)
+    rc2 = main([
+        "--feed-dir", feed, "--lake-dir", lake, "--mode", "batch",
+        "--files-per-batch", "1", "--n-buckets", "8",
+    ])
+    assert rc2 == 0
+    lines2 = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    *stats2, summary2 = lines2
+    assert all(s["skipped"] for s in stats2)
+    assert summary2["rows"] == len(expected)

@@ -8,9 +8,24 @@ a configured catalog it is selected automatically by
 
 Semantics mirror ParquetLakeTable exactly:
 - key-partitioned MERGE INTO with LWW guard (``s._lsn > t._lsn``),
-- tombstoned deletes via WHEN MATCHED ... THEN DELETE,
-- idempotency via snapshot summary property ``xgeo.batch_id``,
+- tombstoned deletes (``_deleted`` flag, so late lower-lsn events can't
+  resurrect them),
+- idempotency via the ``xgeo.last_batch_id`` table property
+  (:data:`BATCH_ID_PROP`), written by ``merge`` and read back by
+  ``last_batch_id`` — ONE shared constant, so writer and reader cannot
+  drift apart,
 - schema evolution via ALTER TABLE ADD COLUMN / ALTER COLUMN TYPE.
+
+Exactly-once under crash-replay: the MERGE and the batch-id property set
+are two separate Iceberg commits, so a crash between them replays the
+batch. Replay CONVERGES rather than duplicating: every previously-inserted
+row is now MATCHED with ``s._lsn == t._lsn``, which fails the strictly-
+greater LWW guard on both the update and the delete branch (no-op), and
+no longer reaches WHEN NOT MATCHED (no duplicate insert). The property
+set then lands and subsequent replays skip outright. The same strictly-
+greater guard is what the parquet sink's replay tests
+(tests/test_cdc_replay.py::test_idempotent_remerge) verify end-to-end;
+tests/test_iceberg_sql.py verifies the SQL this class emits encodes it.
 """
 
 from __future__ import annotations
@@ -21,6 +36,10 @@ from pyspark.sql import types as T
 from xgeo_spark.operators.dedup import lww_dedup_agg
 from xgeo_spark.plans.schema_evolution import diff_schemas
 from xgeo_spark.sinks.base import LakeTable, MergeStats
+
+# The single source of truth for the idempotency stamp. merge() writes it
+# with SET TBLPROPERTIES; last_batch_id() reads it with SHOW TBLPROPERTIES.
+BATCH_ID_PROP = "xgeo.last_batch_id"
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -46,6 +65,25 @@ def merge_sql(table: str, key_cols: list[str], payload_cols: list[str]) -> str:
         f"THEN UPDATE SET {sets}, t._lsn = s._lsn, t._deleted = false "
         f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
     )
+
+
+def stamp_batch_sql(table: str, batch_id: int) -> str:
+    """The idempotency stamp — writes :data:`BATCH_ID_PROP`, the exact
+    property ``last_batch_id``/:func:`parse_batch_id` reads back."""
+    return (
+        f"ALTER TABLE {table} SET TBLPROPERTIES ('{BATCH_ID_PROP}'='{int(batch_id)}')"
+    )
+
+
+def parse_batch_id(props: dict[str, str]) -> int | None:
+    """Extract the last committed batch id from a table-properties map."""
+    v = props.get(BATCH_ID_PROP)
+    if v is None:
+        return None
+    try:
+        return int(v)
+    except (TypeError, ValueError):
+        return None
 
 
 def alter_sql(table: str, diff) -> list[str]:
@@ -91,13 +129,11 @@ class IcebergLakeTable(LakeTable):
         return props["xgeo.key_cols"].split(",")
 
     def last_batch_id(self) -> int | None:
-        rows = self.spark.sql(
-            f"SELECT summary['xgeo.batch_id'] AS b FROM {self.identifier}.snapshots "
-            f"ORDER BY committed_at DESC LIMIT 1"
-        ).collect()
-        if rows and rows[0]["b"] is not None:
-            return int(rows[0]["b"])
-        return None
+        props = {
+            r["key"]: r["value"]
+            for r in self.spark.sql(f"SHOW TBLPROPERTIES {self.identifier}").collect()
+        }
+        return parse_batch_id(props)
 
     def read(self, include_system: bool = False) -> DataFrame:
         df = self.spark.table(self.identifier)
@@ -112,6 +148,7 @@ class IcebergLakeTable(LakeTable):
         updates: DataFrame,
         batch_id: int | None = None,
         offset_range: tuple[int, int] | None = None,
+        transform_deduped=None,
         **_hints,
     ) -> MergeStats:
         last = self.last_batch_id()
@@ -132,6 +169,8 @@ class IcebergLakeTable(LakeTable):
         from pyspark.sql import functions as F
 
         deduped = lww_dedup_agg(updates, key_cols, "lsn", "ts")
+        if transform_deduped is not None:
+            deduped = transform_deduped(deduped)
         user_cols = [f.name for f in self.user_schema.fields]
         shaped = deduped.select(
             *[
@@ -145,8 +184,5 @@ class IcebergLakeTable(LakeTable):
         payload_cols = [c for c in user_cols if c not in key_cols]
         self.spark.sql(merge_sql(self.identifier, key_cols, payload_cols))
         if batch_id is not None:
-            self.spark.sql(
-                f"ALTER TABLE {self.identifier} SET TBLPROPERTIES "
-                f"('xgeo.last_batch_id'='{batch_id}')"
-            )
+            self.spark.sql(stamp_batch_sql(self.identifier, batch_id))
         return MergeStats(batch_id=batch_id, offset_range=offset_range)
