@@ -790,9 +790,10 @@ FROM g GROUP BY event_type ORDER BY event_type
 
 def geo_olc_codes(spark, sf_dir):
     """Open Location Code encode (SURVEY.md §2.2 parity) over synthetic
-    per-user coordinates; vectorized pandas UDF. Rows-only check —
-    encode correctness vs the published spec example is asserted in
-    tests/test_geo_functions.py."""
+    per-user coordinates; vectorized pandas UDF. The oracle re-derives the
+    code in pure SQL (base-20 digit arithmetic per the public OLC spec) —
+    exact because the synthetic lat/lon are multiples of 1/8000 deg plus
+    an exactly-representable offset, so FLOOR sees integral doubles."""
     from xgeo_spark.functions.geo import olc_encode10
 
     ev = _t(spark, sf_dir, "events")
@@ -804,6 +805,111 @@ def geo_olc_codes(spark, sf_dir):
         .withColumn("plus_code", olc_encode10(F.col("lat"), F.col("lon")))
         .orderBy("user_id")
     )
+
+
+# OLC digit i (0-indexed, most significant first) of integer cell index u:
+# alphabet[(u // 20^(4-i)) % 20]. The synthetic coords never hit the
+# lat-clamp / lon-wrap edge cases, so the plain arithmetic IS the spec.
+_OLC_DIGIT = (
+    "substr('23456789CFGHJMPQRVWX', CAST(({u} // {shift}) % 20 AS INT) + 1, 1)"
+)
+
+
+def _olc_sql_code() -> str:
+    parts = []
+    for i in range(5):
+        shift = 20 ** (4 - i)
+        parts.append(_OLC_DIGIT.format(u="la_u", shift=shift))
+        parts.append(_OLC_DIGIT.format(u="lo_u", shift=shift))
+    parts.insert(8, "'+'")
+    return " || ".join(parts)
+
+
+GEO_OLC_SQL = f"""
+WITH u AS (
+  SELECT DISTINCT user_id,
+         CAST(user_id % 170 - 85 AS DOUBLE) + 0.5 AS lat,
+         CAST(user_id % 360 - 180 AS DOUBLE) + 0.25 AS lon
+  FROM events),
+c AS (
+  SELECT user_id, lat, lon,
+         CAST(FLOOR((lat + 90.0) * 8000.0) AS BIGINT) AS la_u,
+         CAST(FLOOR((lon + 180.0) * 8000.0) AS BIGINT) AS lo_u
+  FROM u)
+SELECT user_id, lat, lon, {_olc_sql_code()} AS plus_code
+FROM c ORDER BY user_id
+"""
+
+
+def geo_user_bounds(spark, sf_dir):
+    """Bound family parity (orb/geo/bound.go:43,64,70): per-event-type
+    bounding box of the synthetic coordinates, padded by 10 km, plus
+    approximate height/width in meters. Pad and height are linear
+    arithmetic (exact cross-engine); width goes through haversine, so it is
+    DECIMAL-quantized like geo_event_distance to absorb libm last-ulp
+    drift."""
+    from xgeo_spark.functions.geo import bound_height_m, bound_pad, bound_width_m
+
+    ev = _t(spark, sf_dir, "events")
+    # sparse sample + sub-world coordinate ranges: each event_type's box is
+    # a DIFFERENT non-degenerate rectangle (a dense modulo would saturate
+    # every group to the same world-spanning box and test nothing)
+    lat = (F.col("user_id") % 120 / 2 - 30).cast("double") + F.lit(0.5)
+    lon = (F.col("event_id") % 200 / 2 - 50).cast("double") + F.lit(0.25)
+    raw = ev.filter(F.col("event_id") % 97 == 0).select(
+        "event_type", lat.alias("lat"), lon.alias("lon")
+    )
+    b = raw.groupBy("event_type").agg(
+        F.struct(
+            F.min("lon").alias("min_lon"),
+            F.min("lat").alias("min_lat"),
+            F.max("lon").alias("max_lon"),
+            F.max("lat").alias("max_lat"),
+        ).alias("b")
+    )
+    padded = bound_pad(F.col("b"), 10_000.0)
+    return b.select(
+        "event_type",
+        F.round(padded["min_lon"], 6).alias("p_min_lon"),
+        F.round(padded["min_lat"], 6).alias("p_min_lat"),
+        F.round(padded["max_lon"], 6).alias("p_max_lon"),
+        F.round(padded["max_lat"], 6).alias("p_max_lat"),
+        F.round(bound_height_m(F.col("b")), 3).alias("height_m"),
+        bound_width_m(F.col("b")).cast("decimal(18,3)").cast("double").alias("width_m"),
+    ).orderBy("event_type")
+
+
+GEO_BOUNDS_SQL = """
+WITH pts AS (
+  SELECT event_type,
+         CAST(user_id % 120 AS DOUBLE) / 2 - 30 + 0.5 AS lat,
+         CAST(event_id % 200 AS DOUBLE) / 2 - 50 + 0.25 AS lon
+  FROM events WHERE event_id % 97 = 0),
+b AS (
+  SELECT event_type,
+         MIN(lon) AS min_lon, MIN(lat) AS min_lat,
+         MAX(lon) AS max_lon, MAX(lat) AS max_lat
+  FROM pts GROUP BY event_type),
+p AS (
+  SELECT *,
+         10000.0 / 111131.75 AS dy,
+         GREATEST((10000.0 / 111131.75) / COS(RADIANS(max_lat)),
+                  (10000.0 / 111131.75) / COS(RADIANS(min_lat))) AS dx,
+         (min_lat + max_lat) / 2.0 AS c_lat
+  FROM b)
+SELECT event_type,
+       ROUND(GREATEST(min_lon - dx, -180.0), 6) AS p_min_lon,
+       ROUND(GREATEST(min_lat - dy, -90.0), 6) AS p_min_lat,
+       ROUND(LEAST(max_lon + dx, 180.0), 6) AS p_max_lon,
+       ROUND(LEAST(max_lat + dy, 90.0), 6) AS p_max_lat,
+       ROUND(111131.75 * (max_lat - min_lat), 3) AS height_m,
+       CAST(CAST(2.0 * 6371008.8 * ASIN(SQRT(
+           POW(SIN(RADIANS(0.0) / 2), 2)
+           + COS(RADIANS(c_lat)) * COS(RADIANS(c_lat))
+             * POW(SIN(RADIANS(max_lon - min_lon) / 2), 2)
+       )) AS DECIMAL(18,3)) AS DOUBLE) AS width_m
+FROM p ORDER BY event_type
+"""
 
 
 def multimodal_decode(spark, sf_dir):
@@ -873,7 +979,8 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "emb_label_stats": (emb_label_stats, EMB_LABEL_SQL),
     "emb_ann_lsh": (emb_ann_lsh, None),
     "geo_event_distance": (geo_event_distance, GEO_DIST_SQL),
-    "geo_olc_codes": (geo_olc_codes, None),
+    "geo_olc_codes": (geo_olc_codes, GEO_OLC_SQL),
+    "geo_user_bounds": (geo_user_bounds, GEO_BOUNDS_SQL),
     "multimodal_decode": (multimodal_decode, None),
     "cdc_replay_small": (cdc_replay_small, None),
 }
