@@ -154,6 +154,20 @@ def _slice_bounds(n_events: int, n_files: int) -> list[tuple[int, int]]:
     return [(int(edges[i]), int(edges[i + 1])) for i in range(n_files)]
 
 
+# Generation unit within a file slice. Large single-shot slices thrash the
+# allocator under multiprocess concurrency on this host (measured: 625k-row
+# slices x 32 workers = 249 s for a 20M-event feed; the SAME volume as
+# 156k-row slices = 8.5 s — a 30x cliff). Every producer (in-memory feed,
+# jsonl writer, parquet writer) walks the SAME fixed grid, each chunk
+# seeding its own rng from its global lower bound, so chunking can never
+# change the generated events.
+_SUBSLICE_ROWS = 131_072
+
+
+def _sub_bounds(lo: int, hi: int) -> list[tuple[int, int]]:
+    return [(l2, min(l2 + _SUBSLICE_ROWS, hi)) for l2 in range(lo, hi, _SUBSLICE_ROWS)]
+
+
 def _generate_slice(
     cfg: ChangeStreamConfig, art: _GlobalArtifacts, lo: int, hi: int
 ) -> pd.DataFrame:
@@ -256,25 +270,24 @@ def generate_change_events(cfg: ChangeStreamConfig) -> pd.DataFrame:
     with _gc_paused():
         art = _GlobalArtifacts(cfg)
         parts = [
-            _generate_slice(cfg, art, lo, hi)
+            _generate_slice(cfg, art, lo2, hi2)
             for lo, hi in _slice_bounds(cfg.n_events, cfg.n_files)
+            for lo2, hi2 in _sub_bounds(lo, hi)
         ]
         return pd.concat(parts, ignore_index=True)
 
 
-def _write_jsonl(part: pd.DataFrame, path: str, compression: str | None) -> None:
+def _write_jsonl_rows(part: pd.DataFrame, f) -> None:
     # int64 turn_idx in v2, int32-ranged in v1 is a schema concern at READ
     # time; JSON wire format is width-agnostic which is exactly the point.
     recs = part.copy()
     recs["ts"] = recs["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
-    opener = {"gzip": gzip.open, "bzip2": bz2.open}.get(compression, open)
-    with opener(path, "wt", encoding="utf-8") as f:
-        for row in recs.to_dict(orient="records"):
-            if row.get("schema_version") == 1:
-                row.pop("tool_meta", None)  # column genuinely absent pre-change
-            f.write(json.dumps({k: _clean(v) for k, v in row.items()},
-                               ensure_ascii=False))
-            f.write("\n")
+    for row in recs.to_dict(orient="records"):
+        if row.get("schema_version") == 1:
+            row.pop("tool_meta", None)  # column genuinely absent pre-change
+        f.write(json.dumps({k: _clean(v) for k, v in row.items()},
+                           ensure_ascii=False))
+        f.write("\n")
 
 
 def _clean(v):
@@ -292,30 +305,83 @@ def write_change_stream(out_dir: str, cfg: ChangeStreamConfig) -> list[str]:
     os.makedirs(out_dir, exist_ok=True)
     paths = []
     ext = {"gzip": ".jsonl.gz", "bzip2": ".jsonl.bz2"}.get(cfg.compression, ".jsonl")
+    opener = {"gzip": gzip.open, "bzip2": bz2.open}.get(cfg.compression, open)
     with _gc_paused():
         art = _GlobalArtifacts(cfg)
         for i, (lo, hi) in enumerate(_slice_bounds(cfg.n_events, cfg.n_files)):
             path = os.path.join(out_dir, f"events-{i:05d}{ext}")
-            _write_jsonl(_generate_slice(cfg, art, lo, hi), path, cfg.compression)
+            with opener(path, "wt", encoding="utf-8") as f:
+                for lo2, hi2 in _sub_bounds(lo, hi):
+                    _write_jsonl_rows(_generate_slice(cfg, art, lo2, hi2), f)
             paths.append(path)
     return paths
 
 
+def _parquet_schema(v2: bool):
+    import pyarrow as pa
+
+    fields = [
+        ("lsn", pa.int64()),
+        ("op", pa.string()),
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int64() if v2 else pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
+        ("schema_version", pa.int32()),
+    ]
+    if v2:
+        fields.append(("tool_meta", pa.string()))
+    fields.append(("offset", pa.int64()))
+    return pa.schema(fields)
+
+
 def _write_parquet_slice(args) -> str:
     """Worker: generate slice i and write one parquet file (module-level so
-    multiprocessing can pickle it; artifacts recomputed from the seed)."""
+    multiprocessing can pickle it; artifacts recomputed from the seed).
+
+    Generates and appends one _SUBSLICE_ROWS chunk at a time through a
+    ParquetWriter: bounded per-worker allocation (the 30x concurrency cliff
+    note at _SUBSLICE_ROWS), and the explicit schema keeps all-null chunks
+    (e.g. a chunk with no tool rows) type-stable across row groups."""
     cfg, lo, hi, path = args
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     with _gc_paused():
         art = _GlobalArtifacts(cfg)
-        part = _generate_slice(cfg, art, lo, hi)
-        v2 = bool((part["schema_version"] == 2).any())
-        if not v2:
-            part = part.drop(columns=["tool_meta"])
-            part = part.astype({"turn_idx": np.int32})
-        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), path)
+    # whole-FILE schema decision, same rule as the single-shot writer:
+    # any v2 row in [lo, hi) -> v2 layout (v2 rows are lsn >= cut)
+    v2 = hi > art.cut
+    schema = _parquet_schema(v2)
+    writer = None
+    try:
+        for lo2, hi2 in _sub_bounds(lo, hi):
+            # GC pause is scoped PER CHUNK: pausing across the whole file
+            # lets pandas/pyarrow reference cycles pile up over chunks,
+            # growing the working set back to exactly the big-allocation
+            # cliff the chunking exists to avoid.
+            with _gc_paused():
+                part = _generate_slice(cfg, art, lo2, hi2)
+                if not v2:
+                    part = part.drop(columns=["tool_meta"])
+                    part = part.astype({"turn_idx": np.int32})
+                tbl = pa.Table.from_pandas(
+                    part[schema.names], schema=schema, preserve_index=False
+                )
+            if writer is None:
+                # modest row groups keep the files SPLITTABLE: parquet
+                # scan splits align to row-group boundaries, so one-row-
+                # group files cap the decode stage at one task per file
+                # no matter how many cores the cluster has (measured:
+                # the 8->32-core scaling wall).
+                writer = pq.ParquetWriter(path, schema)
+            writer.write_table(tbl, row_group_size=16_384)
+            del part, tbl
+    finally:
+        if writer is not None:
+            writer.close()
     return path
 
 

@@ -55,6 +55,16 @@ def get_spark(
         # propagate the huge-page workaround to Python UDF workers
         .config("spark.executorEnv.NUMPY_MADVISE_HUGEPAGE", "0")
     )
+    # Shuffle/spill scratch space. On a real cluster spark.local.dir points
+    # at node-local NVMe via the submit config; in this sandbox the single
+    # virtio disk serializes concurrent shuffle-file writes (measured:
+    # 657 s of shuffle-write time in one 99-task stage at 32 threads vs
+    # 1.9 s at 8 — and near-zero on tmpfs). Benchmarks set
+    # SPARK_GRAFT_LOCAL_DIR=/dev/shm/... to model node-local fast storage.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -28,6 +28,9 @@ class MergeStats:
     offset_range: tuple[int, int] | None = None
     schema_changed: bool = False
     partition_rows: dict[int, int] = field(default_factory=dict)
+    # bucket -> data files this merge wrote (table-relative); not part of
+    # as_row — consumed by the pipeline's per-bucket lineage fast path
+    written_files: dict[int, list[str]] | None = None
 
     def as_row(self) -> dict:
         return {

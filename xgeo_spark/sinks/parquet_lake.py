@@ -357,17 +357,18 @@ class ParquetLakeTable(LakeTable):
         )
         rel_out = posixpath.join("data", f"v{version:012d}")
         written: dict[int, list[str]] = {}
-        for name in self.fs.list_names(out_dir):
-            if not name.startswith("_bucket="):
+        # one recursive listing instead of 1 + n_buckets py4j round-trips
+        # (each costs ~5-15 ms of driver latency, a per-batch fixed cost)
+        for rel in self.fs.list_files_recursive(out_dir):
+            if not rel.endswith(".parquet"):
                 continue
-            b = int(name.split("=", 1)[1])
-            files = sorted(
-                posixpath.join(rel_out, name, fn)
-                for fn in self.fs.list_names(posixpath.join(out_dir, name))
-                if fn.endswith(".parquet")
+            head, _, _fn = rel.partition("/")
+            if not head.startswith("_bucket="):
+                continue
+            written.setdefault(int(head.split("=", 1)[1]), []).append(
+                posixpath.join(rel_out, rel)
             )
-            written[b] = files
-        return written
+        return {b: sorted(fl) for b, fl in written.items()}
 
     def merge(
         self,
@@ -376,6 +377,8 @@ class ParquetLakeTable(LakeTable):
         offset_range: tuple[int, int] | None = None,
         touched_buckets: list[int] | None = None,
         stats_hints: dict | None = None,
+        transform_deduped=None,
+        post_write_stats=None,
     ) -> MergeStats:
         m = self.manifest()
         last = m.get("last_batch_id")
@@ -409,6 +412,12 @@ class ParquetLakeTable(LakeTable):
             "_bucket", _bucket_expr(conv_key, n_buckets)
         ).repartition(n_parts, "_bucket")
         deduped = lww_dedup_agg(bucketed, ["_bucket"] + key_cols, "lsn", "ts")
+        if transform_deduped is not None:
+            # caller-supplied per-row transform (e.g. text normalization),
+            # deliberately applied POST-dedup: it runs in the reduce stage
+            # (n_parts tasks, independent of scan split count) and touches
+            # only the surviving row per key.
+            deduped = transform_deduped(deduped)
         # shape to the evolved physical schema: missing columns -> typed
         # nulls, narrower batch types -> widened casts
         shaped = deduped.select(
@@ -425,11 +434,15 @@ class ParquetLakeTable(LakeTable):
         )
 
         # batch-level row counts: taken from the pipeline's pre-aggregation
-        # hints when present (zero extra work); else one small agg here.
+        # hints when present, or (fast path) from ``post_write_stats`` — a
+        # deferred provider (an Observation riding the merge's own scan)
+        # queried AFTER the write action and BEFORE the manifest commit, so
+        # the batch needs no separate metrics job at all.
         # NOTE: Observation.get deadlocks inside streaming foreachBatch
         # (listener events never fire for those jobs), so counts must NOT
-        # ride on observe() in this code path.
-        if stats_hints is None:
+        # ride on observe() in that code path — the pipeline only passes
+        # post_write_stats in bounded batch mode.
+        if stats_hints is None and post_write_stats is None:
             hint_row = shaped.agg(
                 F.count(F.lit(1)).alias("rows_in"),
                 F.sum(F.when(F.col("_deleted"), 1).otherwise(0)).alias("deletes_in"),
@@ -497,6 +510,18 @@ class ParquetLakeTable(LakeTable):
                 for b, fl in (m.get("deltas") or {}).items()
             }
 
+        if post_write_stats is not None:
+            observed = post_write_stats() or {}
+            if offset_range is None and observed.get("offset_start") is not None:
+                offset_range = (
+                    int(observed["offset_start"]), int(observed["offset_end"])
+                )
+            if stats_hints is None:
+                stats_hints = {
+                    "rows_in": int(observed.get("rows_in") or 0),
+                    "deletes_in": int(observed.get("deletes_in") or 0),
+                }
+
         commit_info = {
             "batch_id": batch_id,
             "offset_range": list(offset_range) if offset_range else None,
@@ -527,6 +552,7 @@ class ParquetLakeTable(LakeTable):
             buckets_touched=len(touched),
             offset_range=offset_range,
             schema_changed=schema_changed,
+            written_files=written,
         )
 
     def _commit_noop(self, m: dict, version: int, batch_id, last) -> MergeStats:

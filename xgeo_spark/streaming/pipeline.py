@@ -52,6 +52,12 @@ class IngestConfig:
     # batch (read-optimized). See sinks/parquet_lake.py.
     merge_mode: str = "mor"
     compact_threshold: int = 8
+    # AQE re-plans every exchange at runtime — pure driver latency for THIS
+    # pipeline's merge, whose physical plan is static (explicit repartition
+    # on _bucket, no joins; skew is handled by bucket hashing + the salted
+    # dedup, not AQE skew-join). ~0.5-1 s per micro-batch on the bench box.
+    # Leave True where ad-hoc queries share the session.
+    adaptive: bool = True
     extra: dict = field(default_factory=dict)
 
 
@@ -71,6 +77,8 @@ class CDCIngestPipeline:
         self.lineage = (
             LineageLog(spark, lineage_path) if lineage_path and self.config.lineage else None
         )
+        if not self.config.adaptive:
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
         if not table.exists():
             create_kwargs = {"n_buckets": self.config.n_buckets}
             from xgeo_spark.sinks.parquet_lake import ParquetLakeTable
@@ -81,7 +89,24 @@ class CDCIngestPipeline:
 
     # ---------- the one batch applier ----------
 
-    def apply_batch(self, batch_df: DataFrame, batch_id: int | None) -> MergeStats:
+    def apply_batch(
+        self,
+        batch_df: DataFrame,
+        batch_id: int | None,
+        max_sv_hint: int | None = None,
+    ) -> MergeStats:
+        """Apply one micro-batch.
+
+        ``max_sv_hint``: the batch's max schema_version, when the caller can
+        derive it without a Spark job (bounded parquet replay reads it from
+        the file footers). With the hint, the batch runs as ONE Spark job:
+        the metrics the slow path pre-aggregates (offset range, row/delete
+        counts, bytes) ride the merge's own scan via ``observe`` and are
+        collected after the write, and lineage records per-storage-bucket
+        output rows from the written files' footers. Without it (streaming
+        foreachBatch — where Observation deadlocks — and JSON feeds), the
+        original pre-aggregation pass runs.
+        """
         good, bad = ChangeFeedSource.split_good_bad(batch_df)
 
         n_bad = 0
@@ -91,6 +116,9 @@ class CDCIngestPipeline:
             n_bad = bad.count()
             if n_bad:
                 bad.write.mode("append").json(self.config.quarantine_dir)
+
+        if max_sv_hint is not None:
+            return self._apply_batch_single_job(good, batch_id, max_sv_hint, n_bad)
 
         # ONE pre-aggregation pass over the batch computes everything the
         # driver needs before the merge: per-partition lineage metrics,
@@ -153,11 +181,6 @@ class CDCIngestPipeline:
         if "tool_meta" in good.columns and max_sv < 2:
             good = good.drop("tool_meta")
 
-        if self.config.normalize_text:
-            from xgeo_spark.functions.text import normalize_text
-
-            good = good.withColumn("text", normalize_text(F.col("text")))
-
         merge_kwargs = {
             "stats_hints": {
                 "rows_in": sum((r["rows_in"] or 0) for r in partition_rows),
@@ -166,17 +189,41 @@ class CDCIngestPipeline:
         }
         if touched is not None:
             merge_kwargs["touched_buckets"] = touched
+        merge_kwargs.update(self._normalize_kwarg())
         stats = self.table.merge(
             good, batch_id=batch_id, offset_range=offset_range, **merge_kwargs
         )
         if self.lineage is not None:
             self.lineage.append(stats, partition_rows, rows_quarantined=n_bad)
+        self._maybe_compact(stats)
+        return stats
 
+    def _normalize_kwarg(self) -> dict:
+        if not self.config.normalize_text:
+            return {}
+        # Normalization runs AFTER the LWW dedup, inside the merge's
+        # reduce stage: that stage always has n_buckets tasks (scan
+        # parallelism doesn't cap it), and it sees only the surviving
+        # row per key — same result as normalizing every event (the
+        # UDF is deterministic per row), strictly less work. Running it
+        # pre-shuffle put the pandas UDF in the scan stage, whose task
+        # count is bounded by input splits — the 8->32-core wall.
+        from xgeo_spark.functions.text import normalize_text
+
+        return {
+            "transform_deduped": lambda df: df.withColumn(
+                "text", normalize_text(F.col("text"))
+            )
+        }
+
+    def _maybe_compact(self, stats: MergeStats) -> None:
         # amortized read-cost control for merge-on-read tables: fold deltas
         # into the base once any bucket stacks compact_threshold generations.
         # Runs AFTER the idempotent commit, as its own version — a crash
         # between commit and compaction loses nothing (the next batch just
         # compacts instead).
+        from xgeo_spark.sinks.parquet_lake import ParquetLakeTable
+
         if (
             not stats.skipped
             and isinstance(self.table, ParquetLakeTable)
@@ -184,9 +231,90 @@ class CDCIngestPipeline:
             and self.table.delta_depth() >= self.config.compact_threshold
         ):
             self.table.compact()
+
+    def _apply_batch_single_job(
+        self, good: DataFrame, batch_id: int | None, max_sv: int, n_bad: int
+    ) -> MergeStats:
+        """ONE-Spark-job batch apply (see apply_batch docstring): metrics
+        observe-ride the merge scan, per-bucket lineage comes from written
+        parquet footers — no pre-aggregation pass, no extra scan."""
+        from pyspark.sql import Observation
+
+        if "tool_meta" in good.columns and max_sv < 2:
+            good = good.drop("tool_meta")
+
+        obs = Observation()
+        good = good.observe(
+            obs,
+            F.min("offset").alias("offset_start"),
+            F.max("offset").alias("offset_end"),
+            F.count(F.lit(1)).alias("rows_in"),
+            F.sum(F.octet_length(F.coalesce(F.col("text"), F.lit("")))).alias(
+                "approx_bytes"
+            ),
+            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("deletes_in"),
+        )
+        stats = self.table.merge(
+            good,
+            batch_id=batch_id,
+            post_write_stats=lambda: obs.get,
+            **self._normalize_kwarg(),
+        )
+        if self.lineage is not None:
+            self.lineage.append(
+                stats,
+                self._bucket_lineage_rows(stats),
+                rows_quarantined=n_bad,
+            )
+        self._maybe_compact(stats)
         return stats
 
+    def _bucket_lineage_rows(self, stats: MergeStats) -> list[dict]:
+        """Per-storage-bucket lineage from the written files' footers (a
+        handful of driver-side metadata reads; no Spark job). partition_id
+        carries the BUCKET id here — the audit unit that matters at the
+        sink. Only possible for locally-readable paths; degrades to the
+        batch summary row alone otherwise."""
+        from xgeo_spark.sinks.parquet_lake import ParquetLakeTable
+
+        if not stats.written_files or not isinstance(self.table, ParquetLakeTable):
+            return []
+        root = self.table.root
+        if "://" in root and not root.startswith("file:"):
+            return []
+        import pyarrow.parquet as pq
+
+        rows = []
+        try:
+            for b, files in sorted(stats.written_files.items()):
+                n = sum(
+                    pq.read_metadata(os.path.join(root, f)).num_rows for f in files
+                )
+                rows.append({"partition_id": int(b), "rows_in": n})
+        except OSError:
+            return []
+        return rows
+
     # ---------- bounded replay (tests / bench) ----------
+
+    def _tune_input_splits(self, file_paths: list[str]) -> None:
+        """Size input splits so the scan/decode stage exposes ~3 tasks per
+        core. The default 128 MB split bin-packs a micro-batch's files into
+        a handful of tasks, capping decode parallelism at a constant no
+        matter how many executors exist — measured as flat 8->32-core
+        scaling. Split planning reads this conf per action, so setting it
+        before each batch is enough. (Bounded-replay path only; on a real
+        cluster the submit config owns these knobs.)"""
+        try:
+            total = sum(os.path.getsize(p) for p in file_paths)
+        except OSError:
+            return
+        cores = self.spark.sparkContext.defaultParallelism
+        split = min(max(total // max(3 * cores, 1), 1 << 20), 128 << 20)
+        self.spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+        self.spark.conf.set(
+            "spark.sql.files.openCostInBytes", str(min(split, 4 << 20))
+        )
 
     def run_batch_replay(self, files_per_batch: int = 2, start_batch_id: int = 0) -> list[MergeStats]:
         files = sorted(
@@ -198,10 +326,33 @@ class CDCIngestPipeline:
         bid = start_batch_id
         for i in range(0, len(files), files_per_batch):
             chunk = files[i : i + files_per_batch]
+            self._tune_input_splits(chunk)
             batch = self.source.read_batch(chunk)
-            out.append(self.apply_batch(batch, bid))
+            out.append(
+                self.apply_batch(batch, bid, max_sv_hint=self._sv_hint(chunk))
+            )
             bid += 1
         return out
+
+    @staticmethod
+    def _sv_hint(chunk: list[str]) -> int | None:
+        """Batch max schema_version from parquet footers (driver-side, no
+        Spark job): v2 wire files carry the tool_meta column, v1 files
+        don't — presence IS the schema intent for the parquet wire format.
+        None (-> pre-aggregation path) for JSON feeds, where only a scan
+        can tell."""
+        if not chunk or not all(p.endswith(".parquet") for p in chunk):
+            return None
+        try:
+            import pyarrow.parquet as pq
+
+            return (
+                2
+                if any("tool_meta" in pq.read_schema(p).names for p in chunk)
+                else 1
+            )
+        except OSError:
+            return None
 
     # ---------- streaming ----------
 
