@@ -173,3 +173,31 @@ def test_simhash_band_recall_vs_exact(spark):
         ).collect()
     }
     assert filtered == exact_near
+
+
+def test_hot_bucket_cap(spark):
+    """The 100-TB guard: a mega-bucket of identical boilerplate is dropped
+    (bounding the self-join blowup) while genuine near-dup pairs in
+    normal-sized buckets survive."""
+    from xgeo_spark.functions.dedup_text import minhash_lsh_pairs
+
+    boiler = "lorem ipsum dolor sit amet " * 10
+    real = "the quick brown fox jumps over the lazy dog and keeps running " * 5
+    docs = [(i, boiler) for i in range(30)]
+    docs += [(100, real), (101, real + " extra tail")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            df, "doc_id", "text", max_bucket_size=10
+        ).collect()
+    }
+    assert (100, 101) in capped                            # real pair survives
+    assert not any(a < 30 and b < 30 for a, b in capped)   # mega-bucket gone
+
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(df, "doc_id", "text").collect()
+    }
+    assert any(a < 30 and b < 30 for a, b in uncapped)     # cap did the work

@@ -80,6 +80,32 @@ def make_minhash_udf(n_hashes: int = 64, shingle_k: int = 5, seed: int = 42):
     return minhash_sig
 
 
+def _cap_hot_buckets(
+    bands: DataFrame, key_cols: list[str], max_bucket_size: int | None
+) -> DataFrame:
+    """Drop LSH buckets with more than ``max_bucket_size`` members.
+
+    The 100-TB guard: one degenerate bucket (empty-text signatures,
+    boilerplate headers, a hash pathology) turns the linear bucket
+    self-join into an O(k²) blowup on that key. A windowed count over the
+    bucket key costs one shuffle ON THE SAME KEY the candidate join needs
+    (the exchange is reused), and dropping over-full buckets bounds the
+    worst-case join output at max_bucket_size² per bucket. The recall
+    trade-off is explicit: members of a mega-bucket are overwhelmingly
+    near-identical boilerplate, exactly what exact-hash dedup (cheaper)
+    already catches."""
+    if max_bucket_size is None:
+        return bands
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols)
+    return (
+        bands.withColumn("_bsize", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bsize") <= max_bucket_size)
+        .drop("_bsize")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -89,10 +115,13 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     seed: int = 42,
     min_est_jaccard: float = 0.0,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate candidate pairs with estimated Jaccard.
 
     Returns (id_a, id_b, est_jaccard) for pairs sharing >=1 LSH band.
+    ``max_bucket_size`` enables the hot-bucket cap (see
+    :func:`_cap_hot_buckets`) — set it at scale.
     """
     assert n_hashes % n_bands == 0
     r = n_hashes // n_bands
@@ -116,6 +145,7 @@ def minhash_lsh_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
+    bands = _cap_hot_buckets(bands, ["band_idx", "band_hash"], max_bucket_size)
 
     left = bands.select(
         F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"),
@@ -200,6 +230,7 @@ def simhash_near_pairs(
     text_col: str,
     n_bands: int = 4,
     max_hamming: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Hamming-near candidate pairs via band decomposition (multi-probe).
 
@@ -233,6 +264,7 @@ def simhash_near_pairs(
     bands = sig.select(
         F.col(id_col), "simhash", F.explode(band_structs).alias("b")
     ).select(F.col(id_col), "simhash", "b.band_idx", "b.band_bits")
+    bands = _cap_hot_buckets(bands, ["band_idx", "band_bits"], max_bucket_size)
     a = bands.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"),
         "band_idx", "band_bits",

@@ -111,11 +111,16 @@ def lsh_bucket_neighbors(
     n_planes: int = 12,
     seed: int = 42,
     multi_probe: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """ANN candidate pairs: same-bucket join + exact cosine on candidates.
 
     Returns (id_a, id_b, cosine) — candidates only; recall depends on
     n_planes (fewer planes = bigger buckets = higher recall, more work).
+    ``max_bucket_size`` drops over-full buckets before the self-join (the
+    hot-bucket guard for degenerate regions of embedding space — e.g. a
+    mass of near-zero vectors landing in one cell; see
+    dedup_text._cap_hot_buckets for the scale rationale).
     """
     dim = len(df.select(vec_col).first()[0])
     bucket_udf = make_lsh_bucket_udf(dim, n_planes, seed)
@@ -144,6 +149,11 @@ def lsh_bucket_neighbors(
     right = base.select(
         F.col("_id").alias("id_b"), F.col("_v").alias("v_b"), "_bucket"
     )
+    if max_bucket_size is not None:
+        from xgeo_spark.functions.dedup_text import _cap_hot_buckets
+
+        left = _cap_hot_buckets(left, ["_bucket"], max_bucket_size)
+        right = _cap_hot_buckets(right, ["_bucket"], max_bucket_size)
     cos = _dot("v_a", "v_b") / (_norm(F.col("v_a")) * _norm(F.col("v_b")))
     return (
         left.join(right, "_bucket")

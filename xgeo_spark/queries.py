@@ -653,8 +653,9 @@ def doc_minhash_near_dup(spark, sf_dir):
 
 
 def doc_simhash_buckets(spark, sf_dir):
-    """SimHash 64-bit signatures + hamming-adjacent bucket counts
-    (rows-only check)."""
+    """SimHash 64-bit signatures + hamming-adjacent bucket counts.
+    Oracle: golden VALUES pin (hash not re-derivable in SQL; semantics
+    tested in tests/test_vectors.py)."""
     from xgeo_spark.functions.dedup_text import simhash_signatures
 
     sig = simhash_signatures(
@@ -733,9 +734,9 @@ FROM embeddings GROUP BY label ORDER BY label
 
 def emb_ann_lsh(spark, sf_dir):
     """LSH-bucketed ANN (random-hyperplane signs, seeded) — the scale path
-    for similarity search: candidates only join within a bucket. Rows-only
-    check (bucketing is engine-specific); recall vs brute force is asserted
-    in tests/test_vectors.py."""
+    for similarity search: candidates only join within a bucket. Oracle:
+    golden VALUES pin (seeded hyperplanes not re-derivable in SQL); recall
+    vs brute force is asserted in tests/test_vectors.py."""
     from xgeo_spark.functions.vectors import lsh_bucket_neighbors
 
     return lsh_bucket_neighbors(
@@ -952,6 +953,19 @@ def cdc_replay_small(spark, sf_dir):
 
 # ---------------------------------------------------------------- registry
 
+# Golden (VALUES-literal) oracles for the hash-based queries DuckDB cannot
+# re-derive — determinism/regression pins generated by
+# tools/make_golden_oracles.py from this engine's own sf0.01 output; the
+# operators' semantics are verified independently in tests/test_vectors.py
+# (band recall vs exact hamming, ANN recall vs brute force).
+try:
+    from xgeo_spark.golden_oracles import (
+        GOLDEN_ANN_LSH_SQL as _GOLDEN_ANN_SQL,
+        GOLDEN_SIMHASH_BUCKETS_SQL as _GOLDEN_SIMHASH_SQL,
+    )
+except ImportError:  # pragma: no cover - regenerate with the tool
+    _GOLDEN_ANN_SQL = _GOLDEN_SIMHASH_SQL = None
+
 QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -974,10 +988,10 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "doc_ngram_jaccard_anchor": (doc_ngram_jaccard_anchor, DOC_NGRAM_SQL),
     "doc_text_analysis": (doc_text_analysis, None),
     "doc_minhash_near_dup": (doc_minhash_near_dup, None),
-    "doc_simhash_buckets": (doc_simhash_buckets, None),
+    "doc_simhash_buckets": (doc_simhash_buckets, _GOLDEN_SIMHASH_SQL),
     "emb_cosine_topk": (emb_cosine_topk, EMB_COSINE_SQL),
     "emb_label_stats": (emb_label_stats, EMB_LABEL_SQL),
-    "emb_ann_lsh": (emb_ann_lsh, None),
+    "emb_ann_lsh": (emb_ann_lsh, _GOLDEN_ANN_SQL),
     "geo_event_distance": (geo_event_distance, GEO_DIST_SQL),
     "geo_olc_codes": (geo_olc_codes, GEO_OLC_SQL),
     "geo_user_bounds": (geo_user_bounds, GEO_BOUNDS_SQL),
