@@ -953,18 +953,16 @@ def cdc_replay_small(spark, sf_dir):
 
 # ---------------------------------------------------------------- registry
 
-# Golden (VALUES-literal) oracles for the hash-based queries DuckDB cannot
-# re-derive — determinism/regression pins generated by
+# Golden (VALUES-literal) oracles for deterministic queries another SQL
+# engine cannot re-derive (hash bucketing, UDF text heuristics, the seeded
+# multimodal stub) — determinism/regression pins generated by
 # tools/make_golden_oracles.py from this engine's own sf0.01 output; the
-# operators' semantics are verified independently in tests/test_vectors.py
-# (band recall vs exact hamming, ANN recall vs brute force).
+# operators' semantics are verified independently in tests/ (band recall vs
+# exact hamming, ANN recall vs brute force, text/multimodal unit tests).
 try:
-    from xgeo_spark.golden_oracles import (
-        GOLDEN_ANN_LSH_SQL as _GOLDEN_ANN_SQL,
-        GOLDEN_SIMHASH_BUCKETS_SQL as _GOLDEN_SIMHASH_SQL,
-    )
+    from xgeo_spark.golden_oracles import GOLDEN_SQL as _GOLDEN
 except ImportError:  # pragma: no cover - regenerate with the tool
-    _GOLDEN_ANN_SQL = _GOLDEN_SIMHASH_SQL = None
+    _GOLDEN = {}
 
 QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -986,15 +984,15 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "doc_exact_dedup": (doc_exact_dedup, DOC_EXACT_DEDUP_SQL),
     "doc_token_stats": (doc_token_stats, DOC_TOKEN_STATS_SQL),
     "doc_ngram_jaccard_anchor": (doc_ngram_jaccard_anchor, DOC_NGRAM_SQL),
-    "doc_text_analysis": (doc_text_analysis, None),
-    "doc_minhash_near_dup": (doc_minhash_near_dup, None),
-    "doc_simhash_buckets": (doc_simhash_buckets, _GOLDEN_SIMHASH_SQL),
+    "doc_text_analysis": (doc_text_analysis, _GOLDEN.get("doc_text_analysis")),
+    "doc_minhash_near_dup": (doc_minhash_near_dup, _GOLDEN.get("doc_minhash_near_dup")),
+    "doc_simhash_buckets": (doc_simhash_buckets, _GOLDEN.get("doc_simhash_buckets")),
     "emb_cosine_topk": (emb_cosine_topk, EMB_COSINE_SQL),
     "emb_label_stats": (emb_label_stats, EMB_LABEL_SQL),
-    "emb_ann_lsh": (emb_ann_lsh, _GOLDEN_ANN_SQL),
+    "emb_ann_lsh": (emb_ann_lsh, _GOLDEN.get("emb_ann_lsh")),
     "geo_event_distance": (geo_event_distance, GEO_DIST_SQL),
     "geo_olc_codes": (geo_olc_codes, GEO_OLC_SQL),
     "geo_user_bounds": (geo_user_bounds, GEO_BOUNDS_SQL),
-    "multimodal_decode": (multimodal_decode, None),
+    "multimodal_decode": (multimodal_decode, _GOLDEN.get("multimodal_decode")),
     "cdc_replay_small": (cdc_replay_small, None),
 }
