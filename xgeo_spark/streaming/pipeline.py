@@ -291,7 +291,7 @@ class CDCIngestPipeline:
                     pq.read_metadata(os.path.join(root, f)).num_rows for f in files
                 )
                 rows.append({"partition_id": int(b), "rows_in": n})
-        except OSError:
+        except Exception:  # unreadable footer -> summary-row-only lineage
             return []
         return rows
 
@@ -351,7 +351,7 @@ class CDCIngestPipeline:
                 if any("tool_meta" in pq.read_schema(p).names for p in chunk)
                 else 1
             )
-        except OSError:
+        except Exception:  # unreadable/remote footer -> pre-aggregation path
             return None
 
     # ---------- streaming ----------
@@ -362,6 +362,27 @@ class CDCIngestPipeline:
         available_now: bool = True,
         await_termination: bool = True,
     ):
+        # per-trigger input ≈ max_files_per_trigger average-sized files;
+        # size the splits once at stream start so the decode stage of every
+        # micro-batch exposes ~3 tasks per core (same rationale as the
+        # bounded-replay per-batch tuning above)
+        try:
+            sizes = [
+                os.path.getsize(os.path.join(self.source.feed_dir, f))
+                for f in os.listdir(self.source.feed_dir)
+            ]
+            if sizes:
+                per_trigger = (
+                    sum(sizes) / len(sizes) * self.config.max_files_per_trigger
+                )
+                cores = self.spark.sparkContext.defaultParallelism
+                split = int(min(max(per_trigger // max(3 * cores, 1), 1 << 20), 128 << 20))
+                self.spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+                self.spark.conf.set(
+                    "spark.sql.files.openCostInBytes", str(min(split, 4 << 20))
+                )
+        except OSError:
+            pass
         stream = self.source.read_stream(self.config.max_files_per_trigger)
 
         def _for_each_batch(batch_df: DataFrame, batch_id: int) -> None:
