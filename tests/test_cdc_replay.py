@@ -195,3 +195,35 @@ def test_late_lower_lsn_event_cannot_resurrect_delete(spark, tmp_path):
     table.merge(sdf(rows3), batch_id=2)
     got = table.read().collect()
     assert len(got) == 1 and got[0]["text"] == "back"
+
+
+def test_empty_batch_commits_noop_without_orphan_dir(spark, tmp_path):
+    """A batch that dedups to nothing (all rows quarantined / empty trigger)
+    must not leave an unreferenced data/v<N> directory behind — snapshot
+    expiry walks files and would never prune an empty dir."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from xgeo_spark.streaming.pipeline import KEY_COLS, TRANSCRIPT_SCHEMA
+
+    table = ParquetLakeTable(spark, str(tmp_path / "lake"))
+    table.create(TRANSCRIPT_SCHEMA, KEY_COLS, n_buckets=4)
+    empty = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("lsn", T.LongType()),
+                T.StructField("offset", T.LongType()),
+                T.StructField("op", T.StringType()),
+            ]
+            + list(TRANSCRIPT_SCHEMA.fields)
+        ),
+    )
+    stats = table.merge(empty, batch_id=0)
+    assert stats.version == 1 and not stats.skipped
+    data = tmp_path / "lake" / "data"
+    dirs = os.listdir(data) if data.exists() else []
+    assert dirs == [], f"orphaned version dirs: {dirs}"
+    # and the idempotency stamp still advanced
+    assert table.last_batch_id() == 0

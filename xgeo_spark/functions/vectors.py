@@ -129,6 +129,13 @@ def lsh_bucket_neighbors(
         F.col(vec_col).cast("array<double>").alias("_v"),
         bucket_udf(F.col(vec_col)).alias("_bucket"),
     )
+    if max_bucket_size is not None:
+        # cap ONCE on the base (home buckets) before deriving the two join
+        # sides — capping left/right separately would run the identical
+        # windowed count (and its shuffle) twice over the same rows
+        from xgeo_spark.functions.dedup_text import _cap_hot_buckets
+
+        base = _cap_hot_buckets(base, ["_bucket"], max_bucket_size)
     if multi_probe:
         # probe the home bucket plus every 1-bit-flip neighbor bucket
         probes = F.array(
@@ -149,11 +156,6 @@ def lsh_bucket_neighbors(
     right = base.select(
         F.col("_id").alias("id_b"), F.col("_v").alias("v_b"), "_bucket"
     )
-    if max_bucket_size is not None:
-        from xgeo_spark.functions.dedup_text import _cap_hot_buckets
-
-        left = _cap_hot_buckets(left, ["_bucket"], max_bucket_size)
-        right = _cap_hot_buckets(right, ["_bucket"], max_bucket_size)
     cos = _dot("v_a", "v_b") / (_norm(F.col("v_a")) * _norm(F.col("v_b")))
     return (
         left.join(right, "_bucket")

@@ -964,6 +964,13 @@ try:
 except ImportError:  # pragma: no cover - regenerate with the tool
     _GOLDEN = {}
 
+# Golden pins freeze sf0.01 output specifically (the driver's correctness
+# scale); comparing them at another scale factor is a guaranteed false
+# mismatch. Harnesses running other scales must skip these names
+# (tools/check_oracle.py does).
+GOLDEN_PINNED = frozenset(_GOLDEN)
+GOLDEN_SF = 0.01
+
 QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),

@@ -92,6 +92,17 @@ class HadoopFS:
         out = self._fs.create(self._p(path), True)
         try:
             out.write(bytearray(data))
+            # durability before visibility: without a sync, a host crash
+            # after the commit rename can leave a torn/empty manifest that
+            # the directory listing presents as the CURRENT version. hsync
+            # on HDFS persists to datanode disks; LocalFileSystem maps it
+            # to fsync (verified supported here). Streams that genuinely
+            # can't sync (some object-store shims) fall through — close()
+            # is their only durability point anyway.
+            try:
+                out.hsync()
+            except Exception:
+                pass
         finally:
             out.close()
 
@@ -104,7 +115,16 @@ class HadoopFS:
         """Atomic-visibility write: temp file + rename with overwrite=false.
 
         Raises FileExistsError if ``path`` already exists (lost a commit
-        race) — the caller surfaces this as a commit conflict."""
+        race) — the caller surfaces this as a commit conflict.
+
+        Rename-onto-existing semantics, verified empirically on this
+        Hadoop build: both HDFS and LocalFileSystem return False without
+        replacing the destination (the FileSystem#rename contract), so the
+        loser of a race is detected. On LocalFileSystem the dst-exists
+        check inside rename is not atomic with the rename itself — a
+        residual TOCTOU window that HDFS does not have; single-writer
+        deployments (one streaming driver per table, the supported
+        topology) never enter it."""
         parent = posixpath.dirname(path)
         self.mkdirs(parent)
         tmp = f"{path}.tmp.{uuid.uuid4().hex}"

@@ -149,6 +149,7 @@ class IcebergLakeTable(LakeTable):
         batch_id: int | None = None,
         offset_range: tuple[int, int] | None = None,
         transform_deduped=None,
+        post_write_stats=None,
         **_hints,
     ) -> MergeStats:
         last = self.last_batch_id()
@@ -183,6 +184,23 @@ class IcebergLakeTable(LakeTable):
         shaped.createOrReplaceTempView("_xgeo_updates")
         payload_cols = [c for c in user_cols if c not in key_cols]
         self.spark.sql(merge_sql(self.identifier, key_cols, payload_cols))
+        rows_in = deletes_in = 0
+        if post_write_stats is not None:
+            # same contract as the parquet sink: the deferred provider (an
+            # Observation riding the merge scan) is queried after the MERGE
+            # action, before the idempotency stamp
+            observed = post_write_stats() or {}
+            if offset_range is None and observed.get("offset_start") is not None:
+                offset_range = (
+                    int(observed["offset_start"]), int(observed["offset_end"])
+                )
+            rows_in = int(observed.get("rows_in") or 0)
+            deletes_in = int(observed.get("deletes_in") or 0)
         if batch_id is not None:
             self.spark.sql(stamp_batch_sql(self.identifier, batch_id))
-        return MergeStats(batch_id=batch_id, offset_range=offset_range)
+        return MergeStats(
+            batch_id=batch_id,
+            offset_range=offset_range,
+            rows_upserted=rows_in - deletes_in,
+            rows_deleted=deletes_in,
+        )

@@ -460,6 +460,15 @@ class ParquetLakeTable(LakeTable):
             written = self._write_buckets(shaped, version, m)
             touched = sorted(written)
             if not touched:
+                # the write job ran but produced no data files (all rows
+                # quarantined / empty trigger): remove the empty version
+                # dir so no-op batches can't accumulate unreferenced
+                # directories that snapshot expiry (which walks FILES)
+                # would never prune
+                self.fs.delete(
+                    posixpath.join(self.root, "data", f"v{version:012d}"),
+                    recursive=True,
+                )
                 return self._commit_noop(m, version, batch_id, last)
             new_deltas = {b: list(fl) for b, fl in (m.get("deltas") or {}).items()}
             for b, files in written.items():

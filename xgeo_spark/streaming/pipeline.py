@@ -280,19 +280,23 @@ class CDCIngestPipeline:
         if not stats.written_files or not isinstance(self.table, ParquetLakeTable):
             return []
         root = self.table.root
-        if "://" in root and not root.startswith("file:"):
+        if root.startswith("file:"):
+            # strip the URI scheme so the local pyarrow reader can open it
+            # (file:/p and file:///p both mean /p)
+            root = "/" + root.split(":", 1)[1].lstrip("/")
+        elif "://" in root:
             return []
         import pyarrow.parquet as pq
 
         rows = []
-        try:
-            for b, files in sorted(stats.written_files.items()):
+        for b, files in sorted(stats.written_files.items()):
+            try:
                 n = sum(
                     pq.read_metadata(os.path.join(root, f)).num_rows for f in files
                 )
-                rows.append({"partition_id": int(b), "rows_in": n})
-        except Exception:  # unreadable footer -> summary-row-only lineage
-            return []
+            except Exception:
+                continue  # one unreadable footer drops ONE bucket row only
+            rows.append({"partition_id": int(b), "rows_in": n})
         return rows
 
     # ---------- bounded replay (tests / bench) ----------
