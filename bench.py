@@ -189,6 +189,12 @@ def one_run(
     workdir = tempfile.mkdtemp(prefix=f"xgeo_bench_{cpus}_")
     try:
         cdc = run_cdc_bench(spark, sf, workdir, feed_dir=feed_dir)
+        # the CDC pipeline tunes session confs for micro-batch ingest (AQE
+        # off, small input splits); restore analytics-friendly settings so
+        # the query phase isn't measured under ingest tuning
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 << 20))
+        spark.conf.set("spark.sql.files.openCostInBytes", str(4 << 20))
         queries = {} if cdc_only else run_query_bench(spark, sf_dir)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
