@@ -64,3 +64,20 @@ def test_cli_batch_ingest_end_to_end(spark, tmp_path, capsys):
     *stats2, summary2 = lines2
     assert all(s["skipped"] for s in stats2)
     assert summary2["rows"] == len(expected)
+
+
+def test_cli_stream_mode_end_to_end(spark, tmp_path, capsys):
+    """--mode stream with availableNow: tail the feed through the
+    checkpointed streaming source, then exit; table matches the oracle."""
+    cfg = ChangeStreamConfig(n_events=2000, n_convs=40, seed=13, n_files=2)
+    feed = str(tmp_path / "feed")
+    write_change_stream(feed, cfg)
+    rc = main([
+        "--feed-dir", feed, "--lake-dir", str(tmp_path / "lake"),
+        "--mode", "stream", "--checkpoint-dir", str(tmp_path / "ckpt"),
+        "--n-buckets", "8",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    expected = lww_oracle(generate_change_events(cfg))
+    assert summary["rows"] == len(expected)

@@ -115,3 +115,34 @@ def test_cow_and_mor_converge(spark, tmp_path):
     pd.testing.assert_frame_equal(finals["cow"], finals["mor"])
     oracle = lww_oracle(generate_change_events(cfg))
     assert finals["mor"]["text"].tolist() == oracle["text"].fillna("∅").tolist()
+
+
+def test_merge_plan_has_single_shuffle(spark, tmp_path):
+    """Regression guard on the scale property the merge is built around:
+    bucketing + LWW dedup grouped on (_bucket, key...) produce ONE exchange
+    (the repartition satisfies the aggregate's clustering), so the batch is
+    moved across the cluster exactly once per merge."""
+    import pandas as pd
+
+    from xgeo_spark.operators.dedup import lww_dedup_agg
+    from xgeo_spark.sinks.parquet_lake import _bucket_expr
+
+    rows = pd.DataFrame(
+        {
+            "lsn": range(100),
+            "offset": range(100),
+            "op": ["U"] * 100,
+            "conv_id": [f"c{i % 7}" for i in range(100)],
+            "turn_idx": [i % 5 for i in range(100)],
+            "text": ["t"] * 100,
+            "ts": pd.to_datetime(["2026-01-01"] * 100),
+        }
+    )
+    updates = spark.createDataFrame(rows)
+    bucketed = updates.withColumn(
+        "_bucket", _bucket_expr("conv_id", 8)
+    ).repartition(8, "_bucket")
+    deduped = lww_dedup_agg(bucketed, ["_bucket", "conv_id", "turn_idx"], "lsn", "ts")
+    plan = deduped._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges == 1, f"expected 1 exchange, got {n_exchanges}:\n{plan}"
