@@ -951,6 +951,68 @@ def cdc_replay_small(spark, sf_dir):
     return table.read().orderBy("conv_id", "turn_idx")
 
 
+def cdc_apply_events(spark, sf_dir):
+    """The CDC apply path cross-checked against an INDEPENDENT engine: the
+    driver's events table is read as a deterministic change feed (lsn =
+    event_id, key = (user_id, event_type), every 20th event a delete),
+    applied through the real sink — LWW dedup, tombstones, idempotent
+    bucket merge, split across two batches so the merge-on-read delta
+    reduce is exercised on read — and the final table must equal DuckDB's
+    window-function LWW over the same derivation. This makes the north
+    star's merge semantics (last-writer-wins by commit LSN, winning delete
+    hides the key, batch boundaries invisible) part of the driver gate,
+    not just the local replay suite."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from xgeo_spark.sinks.parquet_lake import ParquetLakeTable
+
+    ev = _t(spark, sf_dir, "events")
+    updates = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.col("event_id").alias("offset"),
+        F.when(F.pmod(F.col("event_id"), F.lit(20)) == 0, "D")
+        .otherwise("U").alias("op"),
+        F.col("user_id").cast("long"),
+        F.col("event_type"),
+        F.col("ts"),
+        F.col("value"),
+        F.col("props"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("event_type", T.StringType(), False),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="xgeo_cdc_apply_")
+    table = ParquetLakeTable(spark, f"{root}/lake")
+    table.create(schema, ["user_id", "event_type"], n_buckets=8)
+    # two batches split mid-stream: batch boundaries must not be observable
+    mid = ev.agg(F.expr("percentile_approx(event_id, 0.5)")).first()[0]
+    table.merge(updates.filter(F.col("lsn") <= mid), batch_id=0)
+    table.merge(updates.filter(F.col("lsn") > mid), batch_id=1)
+    return table.read().orderBy("user_id", "event_type")
+
+
+CDC_APPLY_SQL = """
+WITH ranked AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id, event_type, ts, value, props,
+         CASE WHEN event_id % 20 = 0 THEN 'D' ELSE 'U' END AS op,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, event_type ORDER BY event_id DESC
+         ) AS rn
+  FROM events)
+SELECT user_id, event_type, ts, value, props
+FROM ranked WHERE rn = 1 AND op <> 'D'
+ORDER BY user_id, event_type
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 # Golden (VALUES-literal) oracles for deterministic queries another SQL
@@ -1002,4 +1064,5 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "geo_user_bounds": (geo_user_bounds, GEO_BOUNDS_SQL),
     "multimodal_decode": (multimodal_decode, _GOLDEN.get("multimodal_decode")),
     "cdc_replay_small": (cdc_replay_small, None),
+    "cdc_apply_events": (cdc_apply_events, CDC_APPLY_SQL),
 }
