@@ -176,7 +176,9 @@ ORDER BY revenue DESC, n_name
 
 
 def top_orders_per_customer(spark, sf_dir):
-    """Window top-k: row_number over (custkey) ordered by price."""
+    """Window top-k: row_number over (custkey) ordered by price. At 100x
+    with hot customers, use the equivalent salted two-phase plan
+    (operators/topk.salted_topk — property-tested identical)."""
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
