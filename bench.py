@@ -72,6 +72,7 @@ HEADLINE_QUERIES = [
     "doc_token_stats",
     "doc_minhash_near_dup",
     "emb_cosine_topk",
+    "emb_cosine_near_dup",
 ]
 
 
@@ -307,7 +308,7 @@ def scaling_run(sf_dir: str, n_events: int) -> dict:
     # throughput per leg, so both numerator and denominator reflect the
     # least-interfered run — standard practice for noisy hosts; each leg is
     # still the identical job over the identical input.
-    reps = 2
+    reps = 3
     legs: dict[int, dict] = {}
     try:
         for _rep in range(reps):

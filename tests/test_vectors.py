@@ -201,3 +201,79 @@ def test_hot_bucket_cap(spark):
         for r in minhash_lsh_pairs(df, "doc_id", "text").collect()
     }
     assert any(a < 30 and b < 30 for a, b in uncapped)     # cap did the work
+
+
+def _np_near_dup(rows, tau, n_bands, band_width):
+    """Reference implementation of cosine_near_dup's exact semantics."""
+    import itertools
+
+    ids = sorted(rows)
+    out = {}
+    for i, j in itertools.combinations(ids, 2):
+        a, b = np.asarray(rows[i]), np.asarray(rows[j])
+        sa, sb = (a >= 0), (b >= 0)
+        shares_band = any(
+            np.array_equal(
+                sa[k * band_width:(k + 1) * band_width],
+                sb[k * band_width:(k + 1) * band_width],
+            )
+            for k in range(n_bands)
+        )
+        c = round(_np_cosine(a, b), 6)
+        if shares_band and c >= tau:
+            out[(i, j)] = c
+    return out
+
+
+def test_cosine_near_dup_matches_reference_semantics(vec_df):
+    """Band hashing + candidate join + exact verify must equal the
+    straightforward per-pair evaluation of the same semantics (DIM=16 ->
+    4 bands of 4)."""
+    from xgeo_spark.functions.vectors import cosine_near_dup
+
+    rows = {r["vec_id"]: r["embedding"] for r in vec_df.collect()}
+    want = _np_near_dup(rows, tau=0.9, n_bands=4, band_width=4)
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_near_dup(
+            vec_df, tau=0.9, n_bands=4, band_width=4
+        ).collect()
+    }
+    assert want, "clustered fixture produced no near-dup pairs"
+    assert got == pytest.approx(want)
+
+
+def test_cosine_near_dup_pigeonhole_recall(spark):
+    """A pair flipping fewer than n_bands sign bits is ALWAYS a candidate,
+    wherever the flipped bits fall (including across distinct bands)."""
+    from xgeo_spark.functions.vectors import cosine_near_dup
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(16) + 2.0  # all-positive signs, norm >> flip
+    flipped = base.copy()
+    flipped[0] = -0.01   # band 0 (top bit of the whole sign vector)
+    flipped[9] = -0.01   # band 2 — two flips, two different bands
+    df = spark.createDataFrame(
+        [(0, [float(x) for x in base]), (1, [float(x) for x in flipped])],
+        ["vec_id", "embedding"],
+    )
+    got = cosine_near_dup(df, tau=0.5, n_bands=4, band_width=4).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(0, 1)]
+
+
+def test_cosine_near_dup_hot_bucket_cap(spark):
+    """max_bucket_size drops over-full (band, hash) buckets entirely —
+    identical vectors all land in the same buckets, so a cap below the
+    group size suppresses every pair."""
+    from xgeo_spark.functions.vectors import cosine_near_dup
+
+    v = [1.0] * 16
+    df = spark.createDataFrame(
+        [(i, v) for i in range(10)], ["vec_id", "embedding"]
+    )
+    uncapped = cosine_near_dup(df, tau=0.9, n_bands=4, band_width=4).count()
+    capped = cosine_near_dup(
+        df, tau=0.9, n_bands=4, band_width=4, max_bucket_size=5
+    ).count()
+    assert uncapped == 45
+    assert capped == 0

@@ -86,6 +86,91 @@ def cosine_to_anchor_udf(anchor: list[float]):
     return cos
 
 
+def cosine_near_dup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.4,
+    n_bands: int = 8,
+    band_width: int = 8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via deterministic sign-band LSH.
+
+    The dedup counterpart to :func:`lsh_bucket_neighbors`: instead of seeded
+    random hyperplanes, the planes are the coordinate axes — band ``k``'s
+    hash is the sign bits of dimensions ``[k*band_width, (k+1)*band_width)``
+    folded into an integer (first dimension = most significant bit). Two
+    vectors are candidates iff they share ALL sign bits in at least one
+    band; exact cosine >= ``tau`` is then verified on candidates only.
+
+    Determinism is the point: an external engine (the DuckDB oracle) can
+    recompute the identical bucketing from the raw arrays, so the whole
+    operator is value-checkable end-to-end — no golden pins.
+
+    Recall guarantee (pigeonhole, same argument as the simhash
+    band-decomposition in dedup_text.py): a pair whose sign vectors differ
+    in fewer than ``n_bands`` bits MUST agree on at least one whole band,
+    hence is always a candidate. High-cosine near-duplicates flip few sign
+    bits, so recall degrades gracefully with distance, and the miss region
+    is characterizable (>= n_bands sign flips).
+
+    Scale: banding/hashing is pure JVM expression work (no Python at all),
+    candidates come from an equi-join on (band_idx, band_hash) — linear in
+    bucket sizes, never all-pairs — and ``max_bucket_size`` drops
+    degenerate hot buckets before the self-join (see _cap_hot_buckets).
+    The exact-verify `zip_with` dot product runs only on candidate pairs.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+
+    def band_hash(k: int):
+        sl = F.slice("_v", k * band_width + 1, band_width)
+        return F.aggregate(
+            sl,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc * 2 + F.when(x >= 0, 1).otherwise(0),
+        )
+
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band_idx"), band_hash(k).alias("band_hash")
+            )
+            for k in range(n_bands)
+        ]
+    )
+    exploded = base.select(
+        "_id", "_v", F.explode(bands).alias("_b")
+    ).select(
+        "_id",
+        "_v",
+        F.col("_b.band_idx").alias("_band"),
+        F.col("_b.band_hash").alias("_hash"),
+    )
+    if max_bucket_size is not None:
+        from xgeo_spark.functions.dedup_text import _cap_hot_buckets
+
+        exploded = _cap_hot_buckets(exploded, ["_band", "_hash"], max_bucket_size)
+    left = exploded.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("v_a"), "_band", "_hash"
+    )
+    right = exploded.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("v_b"), "_band", "_hash"
+    )
+    cos = _dot("v_a", "v_b") / (_norm(F.col("v_a")) * _norm(F.col("v_b")))
+    return (
+        left.join(right, ["_band", "_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(float(tau)))
+        .dropDuplicates(["id_a", "id_b"])
+        .orderBy("id_a", "id_b")
+    )
+
+
 def make_lsh_bucket_udf(dim: int, n_planes: int, seed: int = 42):
     """pandas UDF: embedding -> int bucket (sign bits of R @ v).
     One numpy matmul per Arrow batch."""

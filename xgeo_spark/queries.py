@@ -734,6 +734,75 @@ FROM embeddings GROUP BY label ORDER BY label
 """
 
 
+def emb_cosine_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (the brief's third dedup
+    family beside MinHash and SimHash): deterministic sign-band LSH —
+    band k's hash = the sign bits of dims [k*8, k*8+8) folded into an
+    integer — candidates join on (band_idx, band_hash), exact cosine
+    >= tau verified on candidates only. Axis-aligned planes make the
+    bucketing re-derivable in plain SQL, so the oracle value-checks the
+    ENTIRE operator (bucketing + verify), unlike the seeded-hyperplane
+    ANN path which needs a golden pin. Pure JVM expressions throughout
+    (fold/slice/zip_with); linear bucket join, never all-pairs."""
+    from xgeo_spark.functions.vectors import cosine_near_dup
+
+    return cosine_near_dup(
+        _t(spark, sf_dir, "embeddings"), id_col="vec_id", vec_col="embedding",
+        tau=0.4, n_bands=8, band_width=8, max_bucket_size=512,
+    )
+
+
+def _band_hash_sql(k: int, w: int = 8) -> str:
+    # sign bit of dim k*w+j (1-indexed in DuckDB) weighted 2^(w-1-j):
+    # first dimension = most significant bit, matching the Spark fold
+    terms = [
+        f"(CASE WHEN e[{k * w + j + 1}] >= 0 THEN {1 << (w - 1 - j)} ELSE 0 END)"
+        for j in range(w)
+    ]
+    return " + ".join(terms)
+
+
+def _emb_near_dup_sql() -> str:
+    bands = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {k} AS band_idx, {_band_hash_sql(k)} AS band_hash FROM v"
+        for k in range(8)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+b AS (
+{bands}
+),
+sized AS (
+  SELECT b.*, COUNT(*) OVER (PARTITION BY band_idx, band_hash) AS bsize FROM b
+),
+cand AS (
+  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+  FROM sized l JOIN sized r
+    ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+   AND l.vec_id < r.vec_id
+  WHERE l.bsize <= 512 AND r.bsize <= 512
+),
+p AS (
+  SELECT id_a, id_b, a.e AS ea, b2.e AS eb
+  FROM cand
+  JOIN v a ON a.vec_id = cand.id_a
+  JOIN v b2 ON b2.vec_id = cand.id_b
+)
+SELECT id_a, id_b,
+       ROUND({_dot_sql('ea', 'eb')} /
+             (sqrt({_dot_sql('ea', 'ea')}) * sqrt({_dot_sql('eb', 'eb')})), 6)
+         AS cosine
+FROM p
+WHERE ROUND({_dot_sql('ea', 'eb')} /
+            (sqrt({_dot_sql('ea', 'ea')}) * sqrt({_dot_sql('eb', 'eb')})), 6)
+      >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+EMB_NEAR_DUP_SQL = _emb_near_dup_sql()
+
+
 def emb_ann_lsh(spark, sf_dir):
     """LSH-bucketed ANN (random-hyperplane signs, seeded) — the scale path
     for similarity search: candidates only join within a bucket. Oracle:
@@ -1060,6 +1129,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "doc_simhash_buckets": (doc_simhash_buckets, _GOLDEN.get("doc_simhash_buckets")),
     "emb_cosine_topk": (emb_cosine_topk, EMB_COSINE_SQL),
     "emb_label_stats": (emb_label_stats, EMB_LABEL_SQL),
+    "emb_cosine_near_dup": (emb_cosine_near_dup, EMB_NEAR_DUP_SQL),
     "emb_ann_lsh": (emb_ann_lsh, _GOLDEN.get("emb_ann_lsh")),
     "geo_event_distance": (geo_event_distance, GEO_DIST_SQL),
     "geo_olc_codes": (geo_olc_codes, GEO_OLC_SQL),
