@@ -277,3 +277,15 @@ def test_cosine_near_dup_hot_bucket_cap(spark):
     ).count()
     assert uncapped == 45
     assert capped == 0
+
+
+def test_cosine_near_dup_plan_is_bucketed_join(vec_df):
+    """Scale guard: the candidate join must be an equi-join on the band
+    keys (shuffle or broadcast hash), NEVER a cartesian/broadcast-nested-
+    loop — the whole point of banding is linear candidate generation."""
+    from xgeo_spark.functions.vectors import cosine_near_dup
+
+    out = cosine_near_dup(vec_df, tau=0.9, n_bands=4, band_width=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
