@@ -146,3 +146,45 @@ def test_merge_plan_has_single_shuffle(spark, tmp_path):
     plan = deduped._jdf.queryExecution().executedPlan().toString()
     n_exchanges = plan.count("Exchange")
     assert n_exchanges == 1, f"expected 1 exchange, got {n_exchanges}:\n{plan}"
+
+
+def test_concurrent_writer_conflict_detected(spark, tmp_path):
+    """Optimistic-concurrency guard: a writer that computed its commit from
+    a stale manifest (another writer committed meanwhile) must raise
+    CommitConflictError and must NOT clobber the winner's manifest or
+    table state — the Iceberg commit model."""
+    from unittest import mock
+
+    from xgeo_spark.sinks.parquet_lake import CommitConflictError
+
+    root = str(tmp_path / "lake")
+    a = ParquetLakeTable(spark, root)
+    a.create(TRANSCRIPT_SCHEMA, KEY_COLS, n_buckets=4)
+    a.merge(_batch(spark, 0, {0: "base"}), batch_id=0)
+
+    b = ParquetLakeTable(spark, root)
+    stale = b.manifest()  # b's view before a's next commit
+    a.merge(_batch(spark, 10, {0: "winner"}), batch_id=1)
+
+    with mock.patch.object(b, "manifest", return_value=stale):
+        with pytest.raises(CommitConflictError):
+            b.merge(_batch(spark, 20, {0: "loser"}), batch_id=1)
+
+    # winner's state intact, loser's commit absent
+    assert a.current_version() == 2
+    got = {r["turn_idx"]: r["text"] for r in a.read().collect()}
+    assert got == {0: "winner"}
+    # the losing rename left no manifest for its attempted version beyond
+    # the winner's, and no stray tmp files
+    names = sorted(os.listdir(os.path.join(root, "_versions")))
+    assert not [n for n in names if ".tmp." in n], names
+    # the loser's attempt-unique data dir was cleaned up: every remaining
+    # data dir is referenced by some committed manifest
+    referenced = set()
+    for v in range(a.current_version() + 1):
+        mv = a._load_manifest(v)
+        for coll in (mv["buckets"], mv.get("deltas") or {}):
+            for fl in coll.values():
+                referenced.update(f.split("/")[1] for f in fl)
+    on_disk = set(os.listdir(os.path.join(root, "data")))
+    assert on_disk <= referenced, (on_disk, referenced)

@@ -11,7 +11,7 @@ Physical layout (all data files immutable, commits are manifest swaps):
 
     <root>/
       _versions/v<NNN>.json        # manifest per committed version
-      data/v<NNN>/_bucket=<K>/*.parquet
+      data/v<NNN>-<attempt>/_bucket=<K>/*.parquet   # attempt-unique dirs
 
 The CURRENT version is the highest committed manifest — discovered by
 listing ``_versions/``, never by a mutable pointer file. A commit is a
@@ -66,6 +66,7 @@ from __future__ import annotations
 import json
 import posixpath
 import re
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -287,7 +288,11 @@ class ParquetLakeTable(LakeTable):
                 "compaction": True,
             }
         ]
-        self._commit(new_manifest)
+        try:
+            self._commit(new_manifest)
+        except CommitConflictError:
+            self._delete_attempt_files(written)
+            raise
         return MergeStats(batch_id=None, version=version, buckets_touched=len(touched))
 
     def expire_versions(self, keep_last: int = 2) -> dict:
@@ -340,11 +345,22 @@ class ParquetLakeTable(LakeTable):
 
     def _write_buckets(self, df: DataFrame, version: int, m: dict) -> dict:
         """Write df (must carry ``_bucket`` and already be partitioned by it)
-        under the version dir; discover what was written by listing the
-        output via the Hadoop FS API (cluster-safe — no driver-local POSIX
-        assumptions). Returns {bucket(int) -> [files written]}.
-        """
-        out_dir = posixpath.join(self.root, "data", f"v{version:012d}")
+        under a per-ATTEMPT version dir; discover what was written by listing
+        the output via the Hadoop FS API (cluster-safe — no driver-local
+        POSIX assumptions). Returns {bucket(int) -> [files written]}; an
+        empty write removes its own directory and returns {}.
+
+        The uuid suffix makes concurrent commit attempts write DISJOINT
+        directories (the Iceberg model: data files are immutable and
+        uniquely named; only the manifest swap races). Without it, two
+        writers that both computed version N would aim ``mode("overwrite")``
+        at the same ``data/vN`` path — the loser's overwrite deletes the
+        winner's already-committed files before the loser's own commit even
+        reaches the conflict check. Orphans from losing attempts are swept
+        by ``expire_versions`` (which keeps only manifest-referenced files)
+        and proactively by the loser's conflict handler in merge/compact."""
+        vdir = f"v{version:012d}-{uuid.uuid4().hex[:8]}"
+        out_dir = posixpath.join(self.root, "data", vdir)
         (
             # leading _bucket makes the requested ordering a suffix-match of
             # the upstream sort-aggregate's (_bucket, key...) output order,
@@ -355,7 +371,7 @@ class ParquetLakeTable(LakeTable):
             .partitionBy("_bucket")
             .parquet(out_dir)
         )
-        rel_out = posixpath.join("data", f"v{version:012d}")
+        rel_out = posixpath.join("data", vdir)
         written: dict[int, list[str]] = {}
         # one recursive listing instead of 1 + n_buckets py4j round-trips
         # (each costs ~5-15 ms of driver latency, a per-batch fixed cost)
@@ -368,7 +384,22 @@ class ParquetLakeTable(LakeTable):
             written.setdefault(int(head.split("=", 1)[1]), []).append(
                 posixpath.join(rel_out, rel)
             )
+        if not written:
+            # all rows quarantined / empty trigger: remove the empty attempt
+            # dir so no-op batches can't accumulate unreferenced directories
+            self.fs.delete(out_dir, recursive=True)
         return {b: sorted(fl) for b, fl in written.items()}
+
+    def _delete_attempt_files(self, written: dict) -> None:
+        """Remove THIS attempt's data directory after a lost commit race
+        (safe: the uuid-suffixed dir belongs to this attempt alone)."""
+        for files in written.values():
+            if files:
+                rel_vdir = files[0].split("/", 2)[:2]
+                self.fs.delete(
+                    posixpath.join(self.root, *rel_vdir), recursive=True
+                )
+                return
 
     def merge(
         self,
@@ -460,15 +491,7 @@ class ParquetLakeTable(LakeTable):
             written = self._write_buckets(shaped, version, m)
             touched = sorted(written)
             if not touched:
-                # the write job ran but produced no data files (all rows
-                # quarantined / empty trigger): remove the empty version
-                # dir so no-op batches can't accumulate unreferenced
-                # directories that snapshot expiry (which walks FILES)
-                # would never prune
-                self.fs.delete(
-                    posixpath.join(self.root, "data", f"v{version:012d}"),
-                    recursive=True,
-                )
+                # empty write — _write_buckets already removed its dir
                 return self._commit_noop(m, version, batch_id, last)
             new_deltas = {b: list(fl) for b, fl in (m.get("deltas") or {}).items()}
             for b, files in written.items():
@@ -550,7 +573,14 @@ class ParquetLakeTable(LakeTable):
             "deltas": new_deltas,
             "commits": (m.get("commits") or [])[-99:] + [commit_info],
         }
-        self._commit(new_manifest)
+        try:
+            self._commit(new_manifest)
+        except CommitConflictError:
+            # lost the manifest race: another writer committed this version.
+            # Our data files live in an attempt-unique dir — delete them and
+            # surface the conflict (the caller retries from a fresh manifest).
+            self._delete_attempt_files(written)
+            raise
 
         deletes_in = int(stats_hints.get("deletes_in", 0) or 0)
         return MergeStats(
