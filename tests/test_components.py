@@ -1,0 +1,65 @@
+"""Connected-components / duplicate-cluster resolution (operators/components.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from xgeo_spark.operators.components import connected_components, dup_clusters
+
+
+def _cc(spark, edges, **kw):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    rows = connected_components(df, **kw).collect()
+    return {r["node"]: r["component"] for r in rows}
+
+
+def test_chain_transitivity(spark):
+    # a-b, b-c, c-d: one component even though a and d share no edge
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_separate_components_and_min_label(spark):
+    got = _cc(spark, [(5, 9), (9, 7), (20, 30), (40, 40), (2, 1)])
+    # self-loop (40,40) is dropped -> 40 is isolated, not emitted
+    assert got == {5: 5, 9: 5, 7: 5, 20: 20, 30: 20, 1: 1, 2: 1}
+
+
+def test_string_ids(spark):
+    got = _cc(spark, [("b", "c"), ("a", "b"), ("x", "y")])
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_long_chain_converges(spark):
+    # diameter 19: needs several propagation rounds, still one component
+    got = _cc(spark, [(i, i + 1) for i in range(20)])
+    assert set(got.values()) == {0}
+    assert len(got) == 21
+
+
+def test_max_iter_exceeded_raises(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(20)], ["src", "dst"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=1)
+
+
+def test_fixpoint_property(spark):
+    # invariant: no edge may join two different clusters
+    edges = [(1, 2), (2, 3), (10, 11), (3, 10), (50, 60), (60, 70), (80, 81)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    comp = connected_components(df)
+    a = comp.withColumnRenamed("node", "src").withColumnRenamed("component", "ca")
+    b = comp.withColumnRenamed("node", "dst").withColumnRenamed("component", "cb")
+    bad = df.join(a, "src").join(b, "dst").filter(F.col("ca") != F.col("cb")).count()
+    assert bad == 0
+
+
+def test_dup_clusters_representative_and_size(spark):
+    pairs = spark.createDataFrame(
+        [(3, 7), (7, 9), (100, 101)], ["id_a", "id_b"]
+    )
+    rows = dup_clusters(pairs).collect()
+    got = {(r["cluster_id"], r["member_id"], r["n_members"]) for r in rows}
+    assert got == {
+        (3, 3, 3), (3, 7, 3), (3, 9, 3),
+        (100, 100, 2), (100, 101, 2),
+    }

@@ -803,6 +803,64 @@ ORDER BY id_a, id_b
 EMB_NEAR_DUP_SQL = _emb_near_dup_sql()
 
 
+def emb_dup_clusters(spark, sf_dir):
+    """Duplicate-CLUSTER resolution — the step after candidate pairs in a
+    real dedup pipeline: fold the near-dup pair relation's transitive
+    closure into connected components (A~B, B~C => one cluster even when
+    A!~C directly) and emit per-member cluster assignment with the
+    canonical representative (min member id = the doc you keep) and the
+    cluster size. Pairs come from the same deterministic sign-band LSH as
+    emb_cosine_near_dup, so the ENTIRE chain — bucketing, cosine verify,
+    transitive closure — is re-derivable by the DuckDB oracle (components
+    via a recursive CTE). Spark side: iterative min-label propagation,
+    one join + one groupBy per round (operators/components.py)."""
+    from xgeo_spark.functions.vectors import cosine_near_dup
+    from xgeo_spark.operators.components import dup_clusters
+
+    pairs = cosine_near_dup(
+        _t(spark, sf_dir, "embeddings"), id_col="vec_id", vec_col="embedding",
+        tau=0.4, n_bands=8, band_width=8, max_bucket_size=512,
+    )
+    return (
+        dup_clusters(pairs, id_a="id_a", id_b="id_b")
+        .select(
+            "cluster_id",
+            "member_id",
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+        .orderBy("cluster_id", "member_id")
+    )
+
+
+def _emb_dup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+{_emb_near_dup_sql()}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+),
+lab AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+SELECT CAST(l.component AS BIGINT) AS cluster_id,
+       CAST(l.node AS BIGINT)      AS member_id,
+       CAST(c.n AS BIGINT)         AS n_members
+FROM lab l
+JOIN (SELECT component, COUNT(*) AS n FROM lab GROUP BY component) c
+  USING (component)
+ORDER BY cluster_id, member_id
+"""
+
+
+EMB_DUP_CLUSTERS_SQL = _emb_dup_clusters_sql()
+
+
 def emb_ann_lsh(spark, sf_dir):
     """LSH-bucketed ANN (random-hyperplane signs, seeded) — the scale path
     for similarity search: candidates only join within a bucket. Oracle:
@@ -1130,6 +1188,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "emb_cosine_topk": (emb_cosine_topk, EMB_COSINE_SQL),
     "emb_label_stats": (emb_label_stats, EMB_LABEL_SQL),
     "emb_cosine_near_dup": (emb_cosine_near_dup, EMB_NEAR_DUP_SQL),
+    "emb_dup_clusters": (emb_dup_clusters, EMB_DUP_CLUSTERS_SQL),
     "emb_ann_lsh": (emb_ann_lsh, _GOLDEN.get("emb_ann_lsh")),
     "geo_event_distance": (geo_event_distance, GEO_DIST_SQL),
     "geo_olc_codes": (geo_olc_codes, GEO_OLC_SQL),
