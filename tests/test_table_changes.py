@@ -1,0 +1,105 @@
+"""Incremental CDC reads from the lake: ParquetLakeTable.table_changes.
+
+The contract under test is the consumer loop: a reader holding snapshot
+v_from applies the emitted net changes (upserts replace/insert by key,
+deletes drop the key) and must land EXACTLY on snapshot v_to — across
+updates, deletes, multi-writes to one key, compaction rewrites, and both
+merge modes.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from xgeo_spark.sinks.parquet_lake import ParquetLakeTable
+from xgeo_spark.streaming.pipeline import KEY_COLS, TRANSCRIPT_SCHEMA
+
+
+def _batch(spark, lsn0: int, texts: dict[int, str], op: str = "U"):
+    rows = [
+        {"lsn": lsn0 + i, "offset": lsn0 + i, "op": op, "conv_id": "c",
+         "turn_idx": t, "role": "user", "text": x, "tool": None,
+         "ts": dt.datetime(2026, 1, 1), "schema_version": 1}
+        for i, (t, x) in enumerate(sorted(texts.items()))
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def _state(table, version=None):
+    return {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in table.read(version=version).collect()
+    }
+
+
+def _apply_changes(state_from: dict, changes) -> dict:
+    out = dict(state_from)
+    for r in changes:
+        k = (r["conv_id"], r["turn_idx"])
+        if r["_change_type"] == "delete":
+            out.pop(k, None)
+        else:
+            out[k] = r["text"]
+    return out
+
+
+def _make(spark, tmp_path, mode: str) -> ParquetLakeTable:
+    t = ParquetLakeTable(spark, str(tmp_path / f"lake_{mode}"))
+    t.create(TRANSCRIPT_SCHEMA, KEY_COLS, n_buckets=4, mode=mode)
+    t.merge(_batch(spark, 0, {0: "a1", 1: "b1", 2: "c1"}), batch_id=0)   # v1
+    t.merge(_batch(spark, 10, {0: "a2", 3: "d1"}), batch_id=1)           # v2
+    t.merge(_batch(spark, 20, {1: "gone"}, op="D"), batch_id=2)          # v3
+    t.merge(_batch(spark, 30, {0: "a3", 4: "e1"}), batch_id=3)           # v4
+    return t
+
+
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_consumer_reaches_target_snapshot(spark, tmp_path, mode):
+    t = _make(spark, tmp_path, mode)
+    for v_from in range(0, t.current_version() + 1):
+        for v_to in range(v_from, t.current_version() + 1):
+            changes = t.table_changes(v_from, v_to).collect()
+            got = _apply_changes(_state(t, version=v_from), changes)
+            assert got == _state(t, version=v_to), (mode, v_from, v_to)
+
+
+def test_net_effect_and_commit_versions(spark, tmp_path):
+    t = _make(spark, tmp_path, "mor")
+    rows = {r["turn_idx"]: r for r in t.table_changes(0).collect()}
+    # turn 0 written in v1, v2, v4 -> ONE net row, the v4 postimage
+    assert rows[0]["text"] == "a3"
+    assert rows[0]["_change_type"] == "upsert"
+    assert rows[0]["_commit_version"] == 4
+    # turn 1 inserted v1 then deleted v3 -> net delete
+    assert rows[1]["_change_type"] == "delete"
+    assert rows[1]["_commit_version"] == 3
+    assert all(0 < r["_commit_version"] <= 4 for r in rows.values())
+
+
+def test_changes_across_compaction(spark, tmp_path):
+    t = _make(spark, tmp_path, "mor")
+    v_before = t.current_version()
+    t.compact()  # folds deltas into base, carrying old _seq values
+    t.merge(_batch(spark, 40, {5: "f1"}), batch_id=4)
+    # pre-compaction window still answers correctly (carried rows filtered)
+    changes = t.table_changes(2).collect()
+    got = _apply_changes(_state(t, version=2), changes)
+    assert got == _state(t)
+    # window after compaction sees only the new write, not refolded data
+    post = t.table_changes(v_before + 1)
+    assert {r["turn_idx"] for r in post.collect()} == {5}
+
+
+def test_empty_window_and_errors(spark, tmp_path):
+    t = _make(spark, tmp_path, "mor")
+    empty = t.table_changes(t.current_version(), t.current_version())
+    assert empty.count() == 0
+    assert "_change_type" in empty.columns
+    with pytest.raises(ValueError, match="v_from"):
+        t.table_changes(3, 1)
+    t.expire_versions(keep_last=2)
+    with pytest.raises(ValueError, match="not retained"):
+        t.table_changes(0)
