@@ -73,6 +73,7 @@ HEADLINE_QUERIES = [
     "doc_minhash_near_dup",
     "emb_cosine_topk",
     "emb_cosine_near_dup",
+    "emb_dup_clusters",
 ]
 
 

@@ -81,7 +81,10 @@ def connected_components(
             offers.unionByName(labels)
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
+            # lazy: the convergence probe below is the round's one action
+            # and materializes the checkpoint as a side effect — eager=True
+            # would compute the same plan twice per round
+            .localCheckpoint(eager=False)
         )
         # exact fixpoint test, id-type-agnostic: count nodes whose label
         # moved. Both sides were just hash-aggregated on node, so the join
