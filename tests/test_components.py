@@ -53,6 +53,39 @@ def test_fixpoint_property(spark):
     assert bad == 0
 
 
+def test_random_graph_vs_union_find(spark):
+    # one deterministic random graph, checked against a union-find oracle
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, 80, size=(200, 2))
+        if a != b
+    ]
+
+    parent = list(range(80))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {n for e in edges for n in e}
+    # canonical component label = min node id in the component
+    comp_min: dict[int, int] = {}
+    for n in touched:
+        comp_min[find(n)] = min(comp_min.get(find(n), n), n)
+    expected = {n: comp_min[find(n)] for n in touched}
+
+    assert _cc(spark, edges) == expected
+
+
 def test_dup_clusters_representative_and_size(spark):
     pairs = spark.createDataFrame(
         [(3, 7), (7, 9), (100, 101)], ["id_a", "id_b"]

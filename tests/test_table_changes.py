@@ -13,6 +13,7 @@ import datetime as dt
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from xgeo_spark.sinks.parquet_lake import ParquetLakeTable
 from xgeo_spark.streaming.pipeline import KEY_COLS, TRANSCRIPT_SCHEMA
@@ -91,6 +92,24 @@ def test_changes_across_compaction(spark, tmp_path):
     # window after compaction sees only the new write, not refolded data
     post = t.table_changes(v_before + 1)
     assert {r["turn_idx"] for r in post.collect()} == {5}
+
+
+def test_changes_across_schema_evolution(spark, tmp_path):
+    # window spans a commit that ADDS a column: changes are emitted at
+    # v_to's schema, rows written before the evolution read as null
+    t = ParquetLakeTable(spark, str(tmp_path / "lake_evo"))
+    t.create(TRANSCRIPT_SCHEMA, KEY_COLS, n_buckets=4, mode="mor")
+    t.merge(_batch(spark, 0, {0: "a1", 1: "b1"}), batch_id=0)            # v1
+    evolved = _batch(spark, 10, {2: "c1"}).withColumn(
+        "tool_meta", F.lit("m2")
+    )
+    t.merge(evolved, batch_id=1)                                         # v2
+    changes = {r["turn_idx"]: r for r in t.table_changes(0).collect()}
+    assert "tool_meta" in t.table_changes(0).columns
+    assert changes[0]["tool_meta"] is None and changes[0]["text"] == "a1"
+    assert changes[2]["tool_meta"] == "m2"
+    got = _apply_changes({}, changes.values())
+    assert got == _state(t)
 
 
 def test_empty_window_and_errors(spark, tmp_path):
