@@ -50,6 +50,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # int64 micros, not the INT96 legacy default: INT96 is deprecated
+        # and writes NO column min/max statistics, which kills both parquet
+        # row-group skipping on ts predicates and the lake's manifest-level
+        # file pruning (sinks/parquet_lake.py file_stats).
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
         # propagate the huge-page workaround to Python UDF workers

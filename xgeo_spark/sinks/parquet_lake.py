@@ -140,6 +140,104 @@ class ParquetLakeTable(LakeTable):
         except FileExistsError as e:
             raise CommitConflictError(str(e)) from e
 
+    # ---------- file statistics (manifest-level data skipping) ----------
+
+    def _local_data_root(self) -> str | None:
+        """Local-POSIX view of the table root, or None when the root is on
+        a remote filesystem (s3a://, hdfs://...)."""
+        root = self.root
+        if root.startswith("file:"):
+            return "/" + root.split(":", 1)[1].lstrip("/")
+        if "://" in root:
+            return None
+        return root
+
+    @staticmethod
+    def _ts_us(value) -> int | None:
+        """Epoch microseconds for a datetime (naive = UTC, matching the
+        pinned session timezone); passthrough for ints; None for None."""
+        if value is None:
+            return None
+        if isinstance(value, (int, float)):
+            return int(value)
+        import datetime as _dt
+
+        if value.tzinfo is not None:
+            value = value.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return int(
+            (value - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000
+        )
+
+    def _collect_file_stats(self, written: dict[int, list[str]]) -> dict[str, dict]:
+        """Per-file (rows, _lsn min/max, ts min/max) from the just-written
+        parquet footers — the Iceberg-manifest-statistics analogue that lets
+        readers plan file sets without opening data files. At 100 TB these
+        stats are why a time-bounded or key-bounded read touches 0.1% of
+        the table instead of listing-and-scanning all of it.
+
+        Footers are read driver-side (a handful of metadata-only reads per
+        commit, same pattern as Iceberg's commit-time manifest write). Only
+        possible for locally-readable roots in this sandbox; on a remote
+        root stats are simply absent and every reader degrades to the
+        unpruned plan — never to wrong results."""
+        root = self._local_data_root()
+        if root is None:
+            return {}
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict] = {}
+        for files in written.values():
+            for rel in files:
+                try:
+                    md = pq.read_metadata(posixpath.join(root, rel))
+                    idx = {
+                        md.schema.column(i).name: i
+                        for i in range(md.num_columns)
+                    }
+                    stat = {
+                        "rows": md.num_rows,
+                        "lsn_min": None, "lsn_max": None,
+                        "ts_min": None, "ts_max": None,
+                    }
+                    for col, lo_k, hi_k, conv in (
+                        ("_lsn", "lsn_min", "lsn_max", int),
+                        ("ts", "ts_min", "ts_max", self._ts_us),
+                    ):
+                        if col not in idx:
+                            continue
+                        los, his = [], []
+                        for rg in range(md.num_row_groups):
+                            s = md.row_group(rg).column(idx[col]).statistics
+                            if s is None or s.min is None or s.max is None:
+                                los = []
+                                break
+                            los.append(s.min)
+                            his.append(s.max)
+                        if los:
+                            stat[lo_k] = conv(min(los))
+                            stat[hi_k] = conv(max(his))
+                    out[rel] = stat
+                except Exception:
+                    continue  # absent stats for THIS file only -> unprunable
+        return out
+
+    @staticmethod
+    def _carry_stats(m: dict, new_buckets: dict, new_deltas: dict,
+                     fresh: dict[str, dict]) -> dict[str, dict]:
+        """file_stats for the next manifest: prior stats for files still
+        referenced, plus this commit's fresh ones (bounds manifest growth —
+        stats leave with their files)."""
+        live = {
+            f
+            for coll in (new_buckets, new_deltas)
+            for fl in coll.values()
+            for f in fl
+        }
+        prior = m.get("file_stats") or {}
+        out = {f: s for f, s in prior.items() if f in live}
+        out.update(fresh)
+        return out
+
     # ---------- schema ----------
 
     @property
@@ -172,6 +270,7 @@ class ParquetLakeTable(LakeTable):
             "last_batch_id": None,
             "buckets": {},      # bucket -> base files
             "deltas": {},       # bucket -> delta files (mor only)
+            "file_stats": {},   # file -> rows/_lsn/ts min-max (data skipping)
             "commits": [],
         }
         self._commit(manifest)
@@ -220,6 +319,129 @@ class ParquetLakeTable(LakeTable):
             df = self._read_files(base + delta, schema)
             if delta:
                 df = self._lww_reduce(df, m["key_cols"])
+        if include_system:
+            return df
+        return df.filter(~F.col("_deleted")).drop("_lsn", "_seq", "_deleted")
+
+    def lookup(self, key_value, include_system: bool = False) -> DataFrame:
+        """Point read for one key, touching 1/n_buckets of the table.
+
+        All versions of a key live in exactly one storage bucket (the hash
+        layout's core invariant), so a point lookup plans ONLY that
+        bucket's base+delta files — at 100 TB with 4096 buckets that is
+        ~25 GB instead of a full-table scan, the difference between an
+        interactive key probe and a batch job. The bucket id comes from a
+        driver-side one-row job (LocalTableScan — no data files touched)
+        evaluating the SAME JVM xxhash64 the writer used, so Python never
+        reimplements the hash."""
+        m = self.manifest()
+        n_buckets = m["n_buckets"]
+        key_col = m["key_cols"][0]
+        b = (
+            self.spark.range(1)
+            .select(
+                F.pmod(F.xxhash64(F.lit(key_value)), F.lit(n_buckets))
+                .cast("int")
+                .alias("b")
+            )
+            .collect()[0]["b"]
+        )
+        schema = self._physical_schema(
+            T.StructType.fromJson(json.loads(m["schema"]))
+        )
+        base = m["buckets"].get(str(b), [])
+        delta = (m.get("deltas") or {}).get(str(b), [])
+        if not base and not delta:
+            df = self.spark.createDataFrame([], schema)
+        else:
+            df = self._read_files(base + delta, schema).filter(
+                F.col(key_col) == F.lit(key_value)
+            )
+            if delta:
+                df = self._lww_reduce(df, m["key_cols"])
+        if include_system:
+            return df
+        return df.filter(~F.col("_deleted")).drop("_lsn", "_seq", "_deleted")
+
+    def scan(
+        self,
+        ts_from=None,
+        ts_to=None,
+        lsn_from: int | None = None,
+        lsn_to: int | None = None,
+        include_system: bool = False,
+    ) -> DataFrame:
+        """Time/lsn-bounded read with manifest-level file skipping.
+
+        Files whose footer-stat range (recorded in ``file_stats`` at commit
+        time) cannot intersect the predicate are dropped from the plan
+        before Spark ever lists them — the manifest prunes FIRST, parquet
+        row-group stats prune second, and the residual filter keeps the
+        result exact. Bounds are inclusive; a file with no recorded stats
+        is always read (pruning is an accelerator, never a correctness
+        dependency).
+
+        Pruning granularity is per BUCKET state: a bucket with delta files
+        contributes all its files unpruned (a delta row may supersede a
+        base row that the predicate would have skipped — dropping the base
+        file could flip the LWW winner), while fully-compacted buckets
+        (one visible row per key, no reduce needed) prune file-by-file.
+        Steady-state ingest keeps most buckets compacted, so most of the
+        table stays prunable while a merge is in flight."""
+        m = self.manifest()
+        stats: dict = m.get("file_stats") or {}
+        deltas = m.get("deltas") or {}
+        ts_lo, ts_hi = self._ts_us(ts_from), self._ts_us(ts_to)
+
+        def keep(rel: str) -> bool:
+            s = stats.get(rel)
+            if s is None:
+                return True
+            if lsn_from is not None and s.get("lsn_max") is not None \
+                    and s["lsn_max"] < lsn_from:
+                return False
+            if lsn_to is not None and s.get("lsn_min") is not None \
+                    and s["lsn_min"] > lsn_to:
+                return False
+            if ts_lo is not None and s.get("ts_max") is not None \
+                    and s["ts_max"] < ts_lo:
+                return False
+            if ts_hi is not None and s.get("ts_min") is not None \
+                    and s["ts_min"] > ts_hi:
+                return False
+            return True
+
+        files: list[str] = []
+        need_reduce = False
+        for b, base in m["buckets"].items():
+            d = deltas.get(b) or []
+            if d:
+                files.extend(base + d)
+                need_reduce = True
+            else:
+                files.extend(f for f in base if keep(f))
+        for b, d in deltas.items():
+            if d and b not in m["buckets"]:
+                files.extend(d)
+                need_reduce = True
+
+        schema = self._physical_schema(
+            T.StructType.fromJson(json.loads(m["schema"]))
+        )
+        if not files:
+            df = self.spark.createDataFrame([], schema)
+        else:
+            df = self._read_files(files, schema)
+            if need_reduce:
+                df = self._lww_reduce(df, m["key_cols"])
+        if lsn_from is not None:
+            df = df.filter(F.col("_lsn") >= F.lit(lsn_from))
+        if lsn_to is not None:
+            df = df.filter(F.col("_lsn") <= F.lit(lsn_to))
+        if ts_from is not None:
+            df = df.filter(F.col("ts") >= F.lit(ts_from))
+        if ts_to is not None:
+            df = df.filter(F.col("ts") <= F.lit(ts_to))
         if include_system:
             return df
         return df.filter(~F.col("_deleted")).drop("_lsn", "_seq", "_deleted")
@@ -310,13 +532,27 @@ class ParquetLakeTable(LakeTable):
         deltas = m.get("deltas") or {}
         return max((len(v) for v in deltas.values()), default=0)
 
-    def compact(self) -> MergeStats:
+    def compact(
+        self,
+        cluster_by: str | None = None,
+        max_rows_per_file: int | None = None,
+    ) -> MergeStats:
         """Fold all delta files into the base (mor -> read-optimized).
 
         Reads base+delta for every bucket that has deltas, LWW-reduces, and
         rewrites those buckets; buckets without deltas carry forward.
         Tombstones are RETAINED in the compacted base so late lower-lsn
-        events still cannot resurrect deleted keys."""
+        events still cannot resurrect deleted keys.
+
+        ``cluster_by``/``max_rows_per_file`` (Delta ``OPTIMIZE``-with-
+        clustering analogue): sort each bucket's rows by ``cluster_by``
+        (instead of the key) and split the output every
+        ``max_rows_per_file`` rows, giving the bucket's base files
+        near-disjoint ranges of that column. Combined with the footer
+        stats recorded in ``file_stats``, this is what makes a
+        time-bounded ``scan()`` prune at the FILE level on compacted
+        data — without clustering every base file spans the table's whole
+        ts range and stats can exclude nothing."""
         m = self.manifest()
         deltas: dict = m.get("deltas") or {}
         touched = sorted(int(b) for b, fl in deltas.items() if fl)
@@ -342,7 +578,13 @@ class ParquetLakeTable(LakeTable):
         reduced = self._lww_reduce(combined, ["_bucket"] + key_cols)
 
         version = m["version"] + 1
-        written = self._write_buckets(reduced, version, m)
+        written = self._write_buckets(
+            reduced,
+            version,
+            m,
+            sort_cols=[cluster_by] if cluster_by else None,
+            max_rows_per_file=max_rows_per_file,
+        )
         for b in touched:          # a bucket can dedup to zero files only if
             written.setdefault(b, [])  # it held tombstone-free dups — keep key
         new_manifest = dict(m)
@@ -351,6 +593,10 @@ class ParquetLakeTable(LakeTable):
         new_manifest["deltas"] = {
             b: [] if int(b) in set(touched) else fl for b, fl in deltas.items()
         }
+        new_manifest["file_stats"] = self._carry_stats(
+            m, new_manifest["buckets"], new_manifest["deltas"],
+            self._collect_file_stats(written),
+        )
         new_manifest["commits"] = (m.get("commits") or [])[-99:] + [
             {
                 "batch_id": None,
@@ -417,7 +663,14 @@ class ParquetLakeTable(LakeTable):
 
     # ---------- merge ----------
 
-    def _write_buckets(self, df: DataFrame, version: int, m: dict) -> dict:
+    def _write_buckets(
+        self,
+        df: DataFrame,
+        version: int,
+        m: dict,
+        sort_cols: list[str] | None = None,
+        max_rows_per_file: int | None = None,
+    ) -> dict:
         """Write df (must carry ``_bucket`` and already be partitioned by it)
         under a per-ATTEMPT version dir; discover what was written by listing
         the output via the Hadoop FS API (cluster-safe — no driver-local
@@ -435,16 +688,18 @@ class ParquetLakeTable(LakeTable):
         and proactively by the loser's conflict handler in merge/compact."""
         vdir = f"v{version:012d}-{uuid.uuid4().hex[:8]}"
         out_dir = posixpath.join(self.root, "data", vdir)
-        (
-            # leading _bucket makes the requested ordering a suffix-match of
-            # the upstream sort-aggregate's (_bucket, key...) output order,
-            # so Catalyst elides this Sort entirely; per task (= one bucket)
-            # the physical row order is identical.
-            df.sortWithinPartitions("_bucket", *m["key_cols"])
+        # leading _bucket makes the requested ordering a suffix-match of
+        # the upstream sort-aggregate's (_bucket, key...) output order,
+        # so Catalyst elides this Sort entirely; per task (= one bucket)
+        # the physical row order is identical. A caller-supplied sort_cols
+        # (clustered compaction) is a REAL sort — that's its point.
+        writer = (
+            df.sortWithinPartitions("_bucket", *(sort_cols or m["key_cols"]))
             .write.mode("overwrite")
-            .partitionBy("_bucket")
-            .parquet(out_dir)
         )
+        if max_rows_per_file:
+            writer = writer.option("maxRecordsPerFile", str(max_rows_per_file))
+        writer.partitionBy("_bucket").parquet(out_dir)
         rel_out = posixpath.join("data", vdir)
         written: dict[int, list[str]] = {}
         # one recursive listing instead of 1 + n_buckets py4j round-trips
@@ -645,6 +900,9 @@ class ParquetLakeTable(LakeTable):
             "last_batch_id": batch_id if batch_id is not None else last,
             "buckets": new_buckets,
             "deltas": new_deltas,
+            "file_stats": self._carry_stats(
+                m, new_buckets, new_deltas, self._collect_file_stats(written)
+            ),
             "commits": (m.get("commits") or [])[-99:] + [commit_info],
         }
         try:
