@@ -615,6 +615,78 @@ class ParquetLakeTable(LakeTable):
             raise
         return MergeStats(batch_id=None, version=version, buckets_touched=len(touched))
 
+    def rebucket(self, new_n_buckets: int) -> MergeStats:
+        """Change the table's hash-bucket count (layout evolution).
+
+        A table created at n_buckets=64 that grows 100x ends up with
+        bucket-sized units too big for one executor to rewrite or compact;
+        this rewrites every row into ``new_n_buckets`` hash buckets in ONE
+        shuffle (read -> LWW-reduce -> bucketed write), after which
+        ``lookup`` and per-bucket maintenance use the new layout. System
+        columns survive verbatim — ``_seq`` in particular, so an
+        incremental ``table_changes`` reader crossing the rebucket version
+        sees zero spurious changes (the carried rows are cut by the same
+        _seq-range predicate that handles compaction rewrites). Tombstones
+        are retained, preserving the no-resurrection guarantee.
+
+        This is a full-table rewrite — an offline maintenance operation to
+        run rarely and deliberately (the moral analogue of rewriting data
+        files after Iceberg partition-spec evolution), parallel across the
+        NEW bucket count."""
+        m = self.manifest()
+        if new_n_buckets < 1:
+            raise ValueError("new_n_buckets must be >= 1")
+        if new_n_buckets == m["n_buckets"]:
+            return MergeStats(batch_id=None, skipped=True, version=m["version"])
+        key_cols = m["key_cols"]
+        physical = self._physical_schema(
+            T.StructType.fromJson(json.loads(m["schema"]))
+        )
+        files = [
+            f
+            for coll in (m["buckets"], m.get("deltas") or {})
+            for fl in coll.values()
+            for f in fl
+        ]
+        version = m["version"] + 1
+        new_m = dict(m)
+        new_m["n_buckets"] = new_n_buckets
+        if files:
+            combined = (
+                self._read_files(files, physical)
+                .withColumn("_bucket", _bucket_expr(key_cols[0], new_n_buckets))
+                .repartition(new_n_buckets, "_bucket")
+            )
+            reduced = self._lww_reduce(combined, ["_bucket"] + key_cols)
+            written = self._write_buckets(reduced, version, new_m)
+        else:
+            written = {}
+        new_m["version"] = version
+        new_m["buckets"] = {str(b): fl for b, fl in written.items()}
+        new_m["deltas"] = {}
+        new_m["file_stats"] = self._carry_stats(
+            m, new_m["buckets"], {}, self._collect_file_stats(written)
+        )
+        new_m["commits"] = (m.get("commits") or [])[-99:] + [
+            {
+                "batch_id": None,
+                "offset_range": None,
+                "buckets_rewritten": sorted(written),
+                "rows_in": 0,
+                "deletes_in": 0,
+                "schema_changed": False,
+                "rebucket": {"from": m["n_buckets"], "to": new_n_buckets},
+            }
+        ]
+        try:
+            self._commit(new_m)
+        except CommitConflictError:
+            self._delete_attempt_files(written)
+            raise
+        return MergeStats(
+            batch_id=None, version=version, buckets_touched=len(written)
+        )
+
     def expire_versions(self, keep_last: int = 2) -> dict:
         """Snapshot expiry (Iceberg ``expire_snapshots`` analogue).
 
