@@ -152,6 +152,31 @@ def test_scan_lsn_bounds(table):
     assert got == set(CONVS_A)
 
 
+def test_selective_compaction_folds_only_deep_buckets(spark, tmp_path):
+    t = ParquetLakeTable(spark, str(tmp_path / "lake"))
+    t.create(TRANSCRIPT_SCHEMA, KEY_COLS, n_buckets=4, mode="mor")
+    t.merge(_batch(spark, 0, CONVS_A + ["hot"], JAN), batch_id=0)
+    for i in range(3):  # only "hot"'s bucket stacks deltas
+        t.merge(_batch(spark, 100 * (i + 1), ["hot"], FEB), batch_id=i + 1)
+    m = t.manifest()
+    depths = {b: len(fl) for b, fl in m["deltas"].items()}
+    hot = max(depths, key=depths.get)
+    assert depths[hot] == 4
+    before = {(r["conv_id"], r["turn_idx"]): r["text"]
+              for r in t.read().collect()}
+    t.compact(min_depth=4)
+    m2 = t.manifest()
+    assert m2["deltas"][hot] == []       # the deep bucket folded
+    for b, fl in m["deltas"].items():    # cold buckets untouched
+        if b != hot:
+            assert m2["deltas"].get(b) == fl
+            assert m2["buckets"].get(b, []) == m["buckets"].get(b, [])
+    after = {(r["conv_id"], r["turn_idx"]): r["text"]
+             for r in t.read().collect()}
+    assert after == before
+    assert after[("hot", 0)] == "hot-0@300"
+
+
 def test_scan_and_lookup_without_stats_still_correct(table, spark, tmp_path):
     # simulate a remote root where stats were never collected: strip them
     m = table.manifest()

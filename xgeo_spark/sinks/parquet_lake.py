@@ -536,11 +536,19 @@ class ParquetLakeTable(LakeTable):
         self,
         cluster_by: str | None = None,
         max_rows_per_file: int | None = None,
+        min_depth: int = 1,
     ) -> MergeStats:
-        """Fold all delta files into the base (mor -> read-optimized).
+        """Fold delta files into the base (mor -> read-optimized).
 
-        Reads base+delta for every bucket that has deltas, LWW-reduces, and
-        rewrites those buckets; buckets without deltas carry forward.
+        Reads base+delta for every bucket whose delta stack is at least
+        ``min_depth`` deep, LWW-reduces, and rewrites those buckets; other
+        buckets carry forward untouched. ``min_depth=1`` (default) folds
+        everything; the ingest pipeline passes its compact threshold so a
+        SKEWED feed that drives one hot bucket to the threshold doesn't
+        trigger a rewrite of every cold bucket's base — write
+        amplification that at 4096 buckets would turn one hot key into a
+        full-table rewrite. Cold buckets keep their (bounded, below-
+        threshold) delta stacks until they earn their own fold.
         Tombstones are RETAINED in the compacted base so late lower-lsn
         events still cannot resurrect deleted keys.
 
@@ -555,7 +563,9 @@ class ParquetLakeTable(LakeTable):
         ts range and stats can exclude nothing."""
         m = self.manifest()
         deltas: dict = m.get("deltas") or {}
-        touched = sorted(int(b) for b, fl in deltas.items() if fl)
+        touched = sorted(
+            int(b) for b, fl in deltas.items() if len(fl) >= max(1, min_depth)
+        )
         if not touched:
             return MergeStats(batch_id=None, skipped=True, version=m["version"])
         key_cols = m["key_cols"]

@@ -230,7 +230,9 @@ class CDCIngestPipeline:
             and self.table.manifest().get("mode") == "mor"
             and self.table.delta_depth() >= self.config.compact_threshold
         ):
-            self.table.compact()
+            # fold ONLY the buckets at/above threshold: under skew, one hot
+            # bucket must not force a rewrite of every cold bucket's base
+            self.table.compact(min_depth=self.config.compact_threshold)
 
     def _apply_batch_single_job(
         self, good: DataFrame, batch_id: int | None, max_sv: int, n_bad: int
