@@ -1080,17 +1080,12 @@ def cdc_replay_small(spark, sf_dir):
     return table.read().orderBy("conv_id", "turn_idx")
 
 
-def cdc_apply_events(spark, sf_dir):
-    """The CDC apply path cross-checked against an INDEPENDENT engine: the
-    driver's events table is read as a deterministic change feed (lsn =
-    event_id, key = (user_id, event_type), every 20th event a delete),
-    applied through the real sink — LWW dedup, tombstones, idempotent
-    bucket merge, split across two batches so the merge-on-read delta
-    reduce is exercised on read — and the final table must equal DuckDB's
-    window-function LWW over the same derivation. This makes the north
-    star's merge semantics (last-writer-wins by commit LSN, winning delete
-    hides the key, batch boundaries invisible) part of the driver gate,
-    not just the local replay suite."""
+def _build_events_lake(spark, sf_dir):
+    """The shared rig for the CDC driver-gate queries: the driver's events
+    table read as a deterministic change feed (lsn = event_id, key =
+    (user_id, event_type), every 20th event a delete), applied through the
+    real sink in two batches so the merge-on-read delta reduce is
+    exercised on read."""
     import tempfile
 
     from pyspark.sql import types as T
@@ -1125,7 +1120,36 @@ def cdc_apply_events(spark, sf_dir):
     mid = ev.agg(F.expr("percentile_approx(event_id, 0.5)")).first()[0]
     table.merge(updates.filter(F.col("lsn") <= mid), batch_id=0)
     table.merge(updates.filter(F.col("lsn") > mid), batch_id=1)
+    return table
+
+
+def cdc_apply_events(spark, sf_dir):
+    """The CDC apply path cross-checked against an INDEPENDENT engine: the
+    change-feed derivation of ``_build_events_lake`` applied through the
+    real sink — LWW dedup, tombstones, idempotent bucket merge — and the
+    final table must equal DuckDB's window-function LWW over the same
+    derivation. This makes the north star's merge semantics (last-writer-
+    wins by commit LSN, winning delete hides the key, batch boundaries
+    invisible) part of the driver gate, not just the local replay suite."""
+    table = _build_events_lake(spark, sf_dir)
     return table.read().orderBy("user_id", "event_type")
+
+
+def cdc_scan_window(spark, sf_dir):
+    """The stat-pruned read path under the same independent cross-check:
+    after the apply, compact with ts clustering (so base files get
+    near-disjoint ts ranges and the manifest's footer stats can actually
+    exclude files), then read a mid-feed time window through ``scan()`` —
+    manifest file pruning first, parquet row-group stats second, residual
+    filter last. Must equal DuckDB's windowed LWW filtered to the same
+    bounds: file skipping is an accelerator, never a semantics change."""
+    import datetime as dt
+
+    table = _build_events_lake(spark, sf_dir)
+    table.compact(cluster_by="ts", max_rows_per_file=256)
+    return table.scan(
+        ts_from=dt.datetime(2024, 1, 20), ts_to=dt.datetime(2024, 1, 28)
+    ).orderBy("user_id", "event_type")
 
 
 CDC_APPLY_SQL = """
@@ -1138,6 +1162,22 @@ WITH ranked AS (
   FROM events)
 SELECT user_id, event_type, ts, value, props
 FROM ranked WHERE rn = 1 AND op <> 'D'
+ORDER BY user_id, event_type
+"""
+
+CDC_SCAN_WINDOW_SQL = """
+WITH ranked AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id, event_type, ts, value, props,
+         CASE WHEN event_id % 20 = 0 THEN 'D' ELSE 'U' END AS op,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, event_type ORDER BY event_id DESC
+         ) AS rn
+  FROM events)
+SELECT user_id, event_type, ts, value, props
+FROM ranked
+WHERE rn = 1 AND op <> 'D'
+  AND ts >= TIMESTAMP '2024-01-20 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-28 00:00:00'
 ORDER BY user_id, event_type
 """
 
@@ -1196,4 +1236,5 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "multimodal_decode": (multimodal_decode, _GOLDEN.get("multimodal_decode")),
     "cdc_replay_small": (cdc_replay_small, None),
     "cdc_apply_events": (cdc_apply_events, CDC_APPLY_SQL),
+    "cdc_scan_window": (cdc_scan_window, CDC_SCAN_WINDOW_SQL),
 }
