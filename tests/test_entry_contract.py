@@ -116,3 +116,39 @@ def test_contract_shape():
     o = entrymod.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) >= 20
+
+
+def test_quantiles_approx_close_to_exact(spark):
+    """The 100 TB path for events_quantiles swaps exact `percentile` for
+    the mergeable `percentile_approx` t-digest sketch; assert the sketch
+    (at accuracy 10000) lands within a small relative tolerance of the
+    exact interpolated answer so the swap is a config knob, not a
+    semantics change."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    both = (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.9)").alias("exact_p90"),
+            F.expr("percentile_approx(value, 0.9, 10000)").alias("approx_p90"),
+        )
+        .collect()
+    )
+    assert len(both) > 0
+    for r in both:
+        spread = abs(r["exact_p90"]) + 1e-9
+        assert abs(r["exact_p90"] - r["approx_p90"]) / spread < 0.01, r
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF with nprobe=2 of K=8 cells reads ~1/4 of the table; its top-10
+    must still capture most of the exact brute-force top-10 (recall >= 0.5
+    on this data — the planted near-dup structure makes the anchor's true
+    neighbors concentrate in few cells)."""
+    from xgeo_spark.queries import emb_ann_ivf, emb_cosine_topk
+
+    ivf_ids = {r["vec_id"] for r in emb_ann_ivf(spark, SF_DIR).collect()}
+    exact = [r["vec_id"] for r in emb_cosine_topk(spark, SF_DIR).collect()][:10]
+    recall = len(ivf_ids & set(exact)) / 10.0
+    assert recall >= 0.5, (recall, sorted(ivf_ids), exact)

@@ -249,3 +249,53 @@ def lsh_bucket_neighbors(
         .dropDuplicates(["id_a", "id_b"])
         .orderBy("id_a", "id_b")
     )
+
+
+def ivf_assign_udf(seed_matrix: list[list[float]], seed_ids: list[int]):
+    """pandas UDF: embedding -> id of its max-cosine seed centroid (the IVF
+    cell assignment).
+
+    One float64 matmul against the (K x d) centroid matrix per Arrow batch
+    — O(K) per vector, no shuffle; the centroid matrix rides to executors
+    in the serialized UDF closure (broadcast-by-closure: K is small by
+    construction, that's what makes IVF an index and not a join). Ties
+    break to the LOWEST seed id (np.argmax takes the first maximum and the
+    rows are sorted by seed id), matching the oracle's
+    ``ORDER BY cosine DESC, seed_id`` row_number tie-break.
+    """
+    order = np.argsort(np.asarray(seed_ids))
+    ids = np.asarray(seed_ids, dtype=np.int64)[order]
+    s = np.asarray(seed_matrix, dtype=np.float64)[order]
+    norms = np.linalg.norm(s, axis=1)
+    norms[norms == 0.0] = 1.0
+    sn = s / norms[:, None]
+
+    @pandas_udf(T.LongType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        vnorms = np.linalg.norm(m, axis=1)
+        vnorms[vnorms == 0.0] = 1.0
+        sims = (m / vnorms[:, None]) @ sn.T
+        return pd.Series(ids[np.argmax(sims, axis=1)])
+
+    return assign
+
+
+def ivf_probe_cells(
+    seed_matrix: list[list[float]], seed_ids: list[int],
+    query_vec: list[float], nprobe: int,
+) -> list[int]:
+    """The nprobe seed ids nearest (by cosine) to the query — driver-side
+    numpy over the K-row centroid matrix (K is tiny; this is metadata math,
+    not a Spark job). Ties break to the lower seed id."""
+    s = np.asarray(seed_matrix, dtype=np.float64)
+    ids = np.asarray(seed_ids, dtype=np.int64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    norms = np.linalg.norm(s, axis=1)
+    norms[norms == 0.0] = 1.0
+    qn = float(np.linalg.norm(q)) or 1.0
+    sims = (s / norms[:, None]) @ (q / qn)
+    order = np.lexsort((ids, -sims))
+    return [int(ids[i]) for i in order[:nprobe]]

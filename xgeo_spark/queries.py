@@ -1182,6 +1182,224 @@ ORDER BY user_id, event_type
 """
 
 
+# ------------------------------------------------------- round-2 additions
+
+
+def events_quantiles(spark, sf_dir):
+    """Exact interpolated quantiles of event value per event type.
+
+    Spark's `percentile` (exact, linear interpolation at index p*(n-1))
+    has the identical definition to ANSI/DuckDB `quantile_cont`, so the
+    oracle value-checks the whole distribution computation. The 100 TB
+    path swaps `percentile` for `percentile_approx` (mergeable t-digest
+    sketch: map-side combinable, bounded memory, no per-group value
+    materialization); tests/test_entry_contract.py::test_quantiles_approx
+    asserts the sketch lands within tolerance of the exact answer so the
+    swap is a config change, not a semantics change.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_QUANTILES_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def orders_open_range_join(spark, sf_dir):
+    """Point-in-interval range join: open orders per calendar month start,
+    where an order is "open" for (7 + o_orderkey % 53) days from
+    o_orderdate.
+
+    The naive formulation is a theta join (calendar x orders on
+    m >= start AND m < end) — the oracle states it that way, and on Spark
+    that plan degenerates to BroadcastNestedLoopJoin: every order compared
+    against every month. This implementation uses the interval-bucketing
+    rewrite instead: each interval explodes to the <=3 month-start points
+    it covers (`sequence` + `explode`, JVM-side, bounded fan-out =
+    interval_length / bucket_width) and the join disappears into a plain
+    hash aggregation — linear in input, shuffles only n_months rows.
+    """
+    o = _t(spark, sf_dir, "orders")
+    start = F.col("o_orderdate")
+    end = F.expr(
+        "o_orderdate + make_dt_interval(CAST(7 + o_orderkey % 53 AS INT), 0, 0, 0)"
+    )
+    months = F.sequence(
+        F.date_trunc("month", start),
+        F.date_trunc("month", end),
+        F.expr("interval 1 month"),
+    )
+    return (
+        o.select(F.explode(months).alias("month_start"),
+                 start.alias("_s"), end.alias("_e"))
+        .filter((F.col("month_start") >= F.col("_s"))
+                & (F.col("month_start") < F.col("_e")))
+        .groupBy("month_start")
+        .agg(F.count(F.lit(1)).alias("n_open"))
+        .orderBy("month_start")
+    )
+
+
+ORDERS_RANGE_JOIN_SQL = """
+WITH cal AS (
+  SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
+                                TIMESTAMP '2001-12-01',
+                                INTERVAL 1 MONTH)) AS month_start),
+iv AS (
+  SELECT o_orderdate AS s,
+         o_orderdate + to_days(CAST(7 + o_orderkey % 53 AS INT)) AS e
+  FROM orders)
+SELECT c.month_start, COUNT(*) AS n_open
+FROM cal c JOIN iv ON c.month_start >= iv.s AND c.month_start < iv.e
+GROUP BY c.month_start ORDER BY c.month_start
+"""
+
+
+def doc_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF top-3 terms per document — the text-pipeline term-weighting
+    primitive, entirely with builtins (split/explode/groupBy/window).
+
+    The doc-frequency side is broadcast here because vocabulary is always
+    much smaller than the corpus (Heaps' law) — at 100 TB it's still only
+    the distinct-term table; if it ever exceeded the broadcast threshold
+    AQE falls back to a shuffle join on `term`, which is fine because tf
+    is already pre-aggregated (one row per (doc, term), not per token).
+    Ranking orders by the ROUNDED score so the cross-engine tie-break
+    (score DESC, term ASC) is decided on identical values.
+    """
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    tok = d.select(
+        "doc_id", F.explode(F.split(_norm_text_col(), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("term_count"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    scored = tf.join(F.broadcast(df_), "term").withColumn(
+        "tfidf",
+        F.round(
+            F.col("term_count")
+            * F.log((F.lit(n_docs) + 1.0) / (F.col("doc_freq") + 1.0)),
+            6,
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "term_count", "doc_freq", "tfidf", "rk")
+        .orderBy("doc_id", "rk")
+    )
+
+
+DOC_TFIDF_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))), ' ')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS term_count
+       FROM tok WHERE term <> '' GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.term_count, df.doc_freq,
+         ROUND(tf.term_count * ln((n.n_docs + 1.0) / (df.doc_freq + 1.0)), 6) AS tfidf
+  FROM tf JOIN df USING (term), n),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+  FROM scored)
+SELECT doc_id, term, term_count, doc_freq, tfidf, rk
+FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
+"""
+
+
+def emb_ann_ivf(spark, sf_dir):
+    """IVF (inverted-file) approximate nearest neighbour — the third ANN
+    path next to brute force (`emb_cosine_topk`) and random-hyperplane LSH
+    (`emb_ann_lsh`).
+
+    Centroids are K=8 deterministic seed vectors (vec_id 1..8); every
+    vector is assigned to its max-cosine centroid in one Arrow-batched
+    float64 matmul (`ivf_assign_udf`); the query (the vec_id-0 anchor)
+    probes its nprobe=2 nearest cells and exact cosine runs only inside
+    them — the index reads ~nprobe/K of the table. Unlike the hash-based
+    LSH paths this is fully SQL-re-derivable (assignment is an argmax the
+    oracle restates as a row_number over the vector x seed cross join), so
+    the oracle value-checks assignment, probe selection, AND verify with
+    no golden pin. At 100 TB the real variant k-means-refines the same
+    seed centroids and writes `cell` as a partition column so probing is
+    partition pruning, not a filter.
+    """
+    from xgeo_spark.functions.vectors import (
+        cosine_to_anchor_udf, ivf_assign_udf, ivf_probe_cells,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    seed_rows = (
+        e.filter(F.col("vec_id").between(1, 8))
+        .select("vec_id", "embedding").collect()
+    )
+    seed_ids = [int(r["vec_id"]) for r in seed_rows]
+    seed_mat = [[float(x) for x in r["embedding"]] for r in seed_rows]
+    anchor = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    probe = ivf_probe_cells(seed_mat, seed_ids, anchor, nprobe=2)
+    assign = ivf_assign_udf(seed_mat, seed_ids)
+    cos = cosine_to_anchor_udf(anchor)
+    return (
+        e.withColumn("cell", assign(F.col("embedding")))
+        .filter(F.col("cell").isin(probe) & (F.col("vec_id") != 0))
+        .select("vec_id", "label", "cell",
+                F.round(cos(F.col("embedding")), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+_IVF_COS = (
+    lambda a, b: f"({_dot_sql(a, b)} / "
+    f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+)
+
+EMB_ANN_IVF_SQL = f"""
+WITH a AS (SELECT embedding AS anchor FROM embeddings WHERE vec_id = 0),
+seeds AS (SELECT vec_id AS seed_id, embedding AS s
+          FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+assign AS (
+  SELECT e.vec_id, e.label, e.embedding, s.seed_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_IVF_COS('e.embedding', 's.s')} DESC, s.seed_id) AS rk
+  FROM embeddings e CROSS JOIN seeds s),
+cells AS (SELECT vec_id, label, embedding, seed_id AS cell
+          FROM assign WHERE rk = 1),
+probe AS (SELECT s.seed_id FROM seeds s, a
+          ORDER BY {_IVF_COS('s.s', 'a.anchor')} DESC, s.seed_id LIMIT 2)
+SELECT c.vec_id, c.label, c.cell,
+       ROUND({_IVF_COS('c.embedding', 'a.anchor')}, 6) AS cosine
+FROM cells c JOIN probe p ON c.cell = p.seed_id, a
+WHERE c.vec_id <> 0
+ORDER BY cosine DESC, c.vec_id
+LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 # Golden (VALUES-literal) oracles for deterministic queries another SQL
@@ -1237,4 +1455,8 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "cdc_replay_small": (cdc_replay_small, None),
     "cdc_apply_events": (cdc_apply_events, CDC_APPLY_SQL),
     "cdc_scan_window": (cdc_scan_window, CDC_SCAN_WINDOW_SQL),
+    "events_quantiles": (events_quantiles, EVENTS_QUANTILES_SQL),
+    "orders_open_range_join": (orders_open_range_join, ORDERS_RANGE_JOIN_SQL),
+    "doc_tfidf_top_terms": (doc_tfidf_top_terms, DOC_TFIDF_SQL),
+    "emb_ann_ivf": (emb_ann_ivf, EMB_ANN_IVF_SQL),
 }
