@@ -301,6 +301,83 @@ class CDCIngestPipeline:
             rows.append({"partition_id": int(b), "rows_in": n})
         return rows
 
+    # ---------- snapshot bootstrap (initial load) ----------
+
+    # bootstrap commits as batch -1 so (a) a crash-and-rerun of the
+    # bootstrap itself is skipped by the sink's batch_id idempotency and
+    # (b) feed batches keep their natural 0-based ids afterwards.
+    BOOTSTRAP_BATCH_ID = -1
+
+    def bootstrap_snapshot(
+        self,
+        snapshot_df: DataFrame,
+        watermark_lsn: int,
+        schema_version: int | None = None,
+    ) -> MergeStats:
+        """Initial-load bootstrap: seed the lake from a consistent source
+        snapshot taken at ``watermark_lsn``, then tail the feed (the
+        snapshot-then-stream pattern of binlog CDC connectors — the
+        reference has no recovery notion at all, its analogue is rerunning
+        the whole file: /root/reference/cmd/xgeo/main.go:41-50).
+
+        Every snapshot row is stamped ``op='U', lsn=watermark``. That is
+        sufficient for convergence WITHOUT filtering the feed: the
+        snapshot at W is by definition the LWW fold of all events with
+        lsn <= W, so on replay any event with lsn < W loses to the
+        snapshot row, and an event with lsn == W rewrites an identical
+        value. Events with lsn > W win as they must. Hence
+        bootstrap + full replay == plain full replay, and
+        bootstrap + tail replay (``run_batch_replay(min_lsn=W)``) skips
+        the history entirely — at 10^10 events that's the difference
+        between reading the feed's full retention and reading one day.
+
+        ``schema_version``: the snapshot's wire version when the caller
+        knows it (same contract as ``_sv_hint``); a v1 snapshot drops its
+        all-null ``tool_meta`` so the table evolves only when v2 events
+        actually arrive.
+        """
+        sv = int(schema_version or 1)
+        if sv < 2 and "tool_meta" in snapshot_df.columns:
+            snapshot_df = snapshot_df.drop("tool_meta")
+        ev = snapshot_df.select(
+            F.lit(int(watermark_lsn)).cast("long").alias("lsn"),
+            F.lit(int(watermark_lsn)).cast("long").alias("offset"),
+            F.lit("U").alias("op"),
+            F.lit(sv).cast("int").alias("schema_version"),
+            F.lit(None).cast("string").alias("_corrupt"),
+            F.lit("U").alias("_op"),
+            "*",
+        )
+        return self.apply_batch(ev, self.BOOTSTRAP_BATCH_ID, max_sv_hint=sv)
+
+    @staticmethod
+    def _file_entirely_below_lsn(path: str, watermark: int) -> bool:
+        """True iff the parquet footer PROVES every event in ``path`` has
+        lsn <= watermark (per-row-group column statistics — the same
+        data-skipping contract as the lake's scan()). Non-parquet feeds
+        and unreadable/statless footers conservatively return False; those
+        files are read and LWW discards their stale rows."""
+        if not path.endswith(".parquet"):
+            return False
+        try:
+            import pyarrow.parquet as pq
+
+            md = pq.read_metadata(path)
+            mx = None
+            for rg in range(md.num_row_groups):
+                grp = md.row_group(rg)
+                for ci in range(grp.num_columns):
+                    col = grp.column(ci)
+                    if col.path_in_schema != "lsn":
+                        continue
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        return False
+                    mx = st.max if mx is None else max(mx, st.max)
+            return mx is not None and mx <= watermark
+        except Exception:
+            return False
+
     # ---------- bounded replay (tests / bench) ----------
 
     def _tune_input_splits(self, file_paths: list[str]) -> None:
@@ -322,18 +399,41 @@ class CDCIngestPipeline:
             "spark.sql.files.openCostInBytes", str(min(split, 4 << 20))
         )
 
-    def run_batch_replay(self, files_per_batch: int = 2, start_batch_id: int = 0) -> list[MergeStats]:
+    def run_batch_replay(
+        self,
+        files_per_batch: int = 2,
+        start_batch_id: int = 0,
+        min_lsn: int | None = None,
+    ) -> list[MergeStats]:
+        """Bounded replay of the whole feed directory.
+
+        ``min_lsn``: resume watermark (see ``bootstrap_snapshot``) — feed
+        files whose parquet footer stats prove max(lsn) <= min_lsn are
+        skipped without being read, and surviving batches filter
+        lsn <= min_lsn rows out at scan time (pushed-down predicate;
+        corrupt rows keep flowing to quarantine). Correctness does not
+        depend on the skipping — LWW already discards stale events — it
+        is purely an I/O reduction, which is why the footer check may be
+        conservative."""
         files = sorted(
             os.path.join(self.source.feed_dir, f)
             for f in os.listdir(self.source.feed_dir)
             if f.endswith((".jsonl", ".jsonl.gz", ".jsonl.bz2", ".parquet"))
         )
+        if min_lsn is not None:
+            files = [
+                f for f in files if not self._file_entirely_below_lsn(f, min_lsn)
+            ]
         out = []
         bid = start_batch_id
         for i in range(0, len(files), files_per_batch):
             chunk = files[i : i + files_per_batch]
             self._tune_input_splits(chunk)
             batch = self.source.read_batch(chunk)
+            if min_lsn is not None:
+                batch = batch.filter(
+                    F.col("lsn").isNull() | (F.col("lsn") > F.lit(min_lsn))
+                )
             out.append(
                 self.apply_batch(batch, bid, max_sv_hint=self._sv_hint(chunk))
             )
