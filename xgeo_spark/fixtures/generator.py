@@ -90,6 +90,7 @@ class ChangeStreamConfig:
     seed: int = 42
     update_frac: float = 0.25          # of non-insert events
     delete_frac: float = 0.05
+    patch_frac: float = 0.0            # of non-insert events: partial images
     out_of_order_frac: float = 0.10
     out_of_order_window: int = 1000
     duplicate_frac: float = 0.05
@@ -194,6 +195,9 @@ def _generate_slice(
     r = rng.random(n_rest)
     rest_ops = op[~in_base]
     rest_ops[r < cfg.delete_frac] = "D"
+    # partial images (op P, "null means unchanged") take the next slice of
+    # the same uniform draw so D/P/U fractions are independent of each other
+    rest_ops[(r >= cfg.delete_frac) & (r < cfg.delete_frac + cfg.patch_frac)] = "P"
     op[~in_base] = rest_ops
 
     conv = art.conv_ids[art.key_conv[key_idx]]
@@ -214,6 +218,21 @@ def _generate_slice(
     role = np.where(op == "D", None, role)
     tool = np.where(op == "D", None, tool)
 
+    # patches set a SUBSET of columns; null means "unchanged". Two
+    # deterministic variants: text-only (the common transcript edit) and
+    # tool-only (attach/replace tool metadata without touching the text).
+    text_patch = np.zeros(n, dtype=bool)
+    if cfg.patch_frac > 0:
+        is_p = op == "P"
+        text_patch = is_p & (rng.random(n) < 0.5)
+        tool_patch = is_p & ~text_patch
+        text = np.where(tool_patch, None, text)
+        role = np.where(is_p, None, role)
+        tool = np.where(
+            tool_patch, _TOOLS[rng.integers(0, 3, size=n)],
+            np.where(is_p, None, tool),
+        )
+
     base_ts = np.datetime64(cfg.base_ts, "us")
     ts = base_ts + (lsn * 1_000_000 + rng.integers(0, 1_000_000, size=n)).astype(
         "timedelta64[us]"
@@ -221,7 +240,7 @@ def _generate_slice(
 
     schema_version = np.where(lsn < art.cut, 1, 2).astype(np.int32)
     tool_meta = np.where(
-        (schema_version == 2) & is_tool & (op != "D"),
+        (schema_version == 2) & is_tool & (op != "D") & ~text_patch,
         art.meta_pool[rng.integers(0, len(art.meta_pool), size=n)],
         None,
     )
@@ -438,6 +457,56 @@ def lww_oracle(events: pd.DataFrame) -> pd.DataFrame:
     return (
         final[cols]
         .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+        .astype({"turn_idx": np.int64})
+    )
+
+
+def fold_oracle(events: pd.DataFrame) -> pd.DataFrame:
+    """Patch-aware reference applier: sequential fold in (lsn, offset)
+    order per key. Full images (I/U) replace the whole row, 'P' overrides
+    only its non-null columns ("null means unchanged"), 'D' removes the
+    key (a later P re-creates a partial row). Reduces to ``lww_oracle``
+    when no P events exist. O(n) python loop — oracle-only, never the
+    engine path."""
+    payload = ["role", "text", "tool", "ts", "tool_meta"]
+    e = events.sort_values(["lsn", "offset"], kind="stable")
+    for c in payload:
+        if c not in e.columns:
+            e = e.assign(**{c: None})
+    state: dict = {}
+    cols_idx = {c: i for i, c in enumerate(
+        ["op", "conv_id", "turn_idx", *payload]
+    )}
+    for row in e[["op", "conv_id", "turn_idx", *payload]].itertuples(
+        index=False, name=None
+    ):
+        k = (row[cols_idx["conv_id"]], row[cols_idx["turn_idx"]])
+        op = row[cols_idx["op"]]
+        if op == "D":
+            state.pop(k, None)
+        elif op == "P":
+            cur = state.get(k, dict.fromkeys(payload))
+            new = dict(cur)
+            for c in payload:
+                v = row[cols_idx[c]]
+                if not pd.isna(v):
+                    new[c] = v
+            state[k] = new
+        else:
+            state[k] = {c: row[cols_idx[c]] for c in payload}
+    out = pd.DataFrame(
+        [
+            {"conv_id": k[0], "turn_idx": k[1], **v}
+            for k, v in state.items()
+        ],
+        columns=["conv_id", "turn_idx", *payload],
+    )
+    out["ts"] = pd.to_datetime(out["ts"]).astype("datetime64[us]")
+    obj_cols = [c for c in out.columns if c != "ts"]
+    out[obj_cols] = out[obj_cols].where(pd.notna(out[obj_cols]), None)
+    return (
+        out.sort_values(["conv_id", "turn_idx"])
         .reset_index(drop=True)
         .astype({"turn_idx": np.int64})
     )

@@ -1400,6 +1400,92 @@ LIMIT 10
 """
 
 
+def cdc_patch_events(spark, sf_dir):
+    """Partial-image (op 'P') fold under the driver's value gate: events is
+    read as a single-batch change feed where event_id%20==0 is a delete,
+    event_id%7==3 a PATCH that sets (value, ts) but leaves props unchanged
+    (null-means-unchanged), the rest full updates. The engine's
+    ``resolve_patches`` per-column lsn-ordered fold (operators/patch.py —
+    the exact code the ingest pipeline runs) is cross-checked against an
+    independent DuckDB restatement via window + FILTERed arg_max. The
+    oracle wraps arg_max args in single-element lists because DuckDB's
+    arg_max skips NULL args while Spark's max_by carries them — and a full
+    image legitimately sets a column to NULL."""
+    from xgeo_spark.operators.patch import resolve_patches
+
+    ev = _t(spark, sf_dir, "events")
+    is_p = (F.pmod(F.col("event_id"), 20) != 0) & (
+        F.pmod(F.col("event_id"), 7) == 3
+    )
+    batch = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.col("event_id").alias("offset"),
+        F.when(F.pmod(F.col("event_id"), 20) == 0, "D")
+        .when(F.pmod(F.col("event_id"), 7) == 3, "P")
+        .otherwise("U")
+        .alias("op"),
+        F.lit(1).alias("schema_version"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_type"),
+        F.col("ts"),
+        F.col("value"),
+        F.when(is_p, F.lit(None).cast("string")).otherwise(F.col("props")).alias(
+            "props"
+        ),
+    )
+    resolved = resolve_patches(batch, None, ["user_id", "event_type"])
+    final = (
+        resolved.groupBy("user_id", "event_type")
+        .agg(
+            F.max_by(
+                F.struct("op", "ts", "value", "props"), F.col("lsn")
+            ).alias("_w")
+        )
+        .filter(F.col("_w.op") != "D")
+        .select(
+            "user_id",
+            "event_type",
+            F.col("_w.ts").alias("ts"),
+            F.col("_w.value").alias("value"),
+            F.col("_w.props").alias("props"),
+        )
+    )
+    return final.orderBy("user_id", "event_type")
+
+
+CDC_PATCH_SQL = """
+WITH ev AS (
+  SELECT CAST(event_id AS BIGINT) AS lsn,
+         CAST(user_id AS BIGINT) AS user_id, event_type, ts, value,
+         CASE WHEN event_id % 20 = 0 THEN 'D'
+              WHEN event_id % 7 = 3 THEN 'P' ELSE 'U' END AS op,
+         CASE WHEN event_id % 20 <> 0 AND event_id % 7 = 3 THEN NULL
+              ELSE props END AS props
+  FROM events),
+lf AS (
+  SELECT *, MAX(CASE WHEN op <> 'P' THEN lsn END)
+              OVER (PARTITION BY user_id, event_type) AS last_full
+  FROM ev),
+live AS (
+  SELECT * FROM lf
+  WHERE (op <> 'P' AND lsn = last_full)
+     OR (op = 'P' AND (last_full IS NULL OR lsn > last_full))),
+folded AS (
+  SELECT user_id, event_type,
+         arg_max(op, lsn) AS last_op,
+         (arg_max([ts], lsn)
+            FILTER (WHERE op <> 'P' OR ts IS NOT NULL))[1] AS ts,
+         (arg_max([value], lsn)
+            FILTER (WHERE op <> 'P' OR value IS NOT NULL))[1] AS value,
+         (arg_max([props], lsn)
+            FILTER (WHERE op <> 'P' OR props IS NOT NULL))[1] AS props
+  FROM live GROUP BY user_id, event_type)
+SELECT user_id, event_type, ts, value, props
+FROM folded WHERE last_op <> 'D'
+ORDER BY user_id, event_type
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 # Golden (VALUES-literal) oracles for deterministic queries another SQL
@@ -1459,4 +1545,5 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "orders_open_range_join": (orders_open_range_join, ORDERS_RANGE_JOIN_SQL),
     "doc_tfidf_top_terms": (doc_tfidf_top_terms, DOC_TFIDF_SQL),
     "emb_ann_ivf": (emb_ann_ivf, EMB_ANN_IVF_SQL),
+    "cdc_patch_events": (cdc_patch_events, CDC_PATCH_SQL),
 }

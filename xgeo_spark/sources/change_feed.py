@@ -51,6 +51,7 @@ def _op_canon():
         F.when(F.upper(F.col("op")).isin("I", "C", "R", "INSERT", "CREATE", "READ"), "I")
         .when(F.upper(F.col("op")).isin("U", "UPDATE"), "U")
         .when(F.upper(F.col("op")).isin("D", "DELETE"), "D")
+        .when(F.upper(F.col("op")).isin("P", "PATCH"), "P")
         .otherwise(F.lit(None))
     )
 

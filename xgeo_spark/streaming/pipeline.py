@@ -52,6 +52,11 @@ class IngestConfig:
     # batch (read-optimized). See sinks/parquet_lake.py.
     merge_mode: str = "mor"
     compact_threshold: int = 8
+    # op-'P' partial images ("null means unchanged"): squashed into full
+    # rows at ingest via a bucket-pruned read-modify-write
+    # (operators/patch.py). Off by default — feeds without patches must
+    # not pay the resolver's split joins.
+    enable_patches: bool = False
     # AQE re-plans every exchange at runtime — pure driver latency for THIS
     # pipeline's merge, whose physical plan is static (explicit repartition
     # on _bucket, no joins; skew is handled by bucket hashing + the salted
@@ -149,6 +154,7 @@ class CDCIngestPipeline:
             ),
             F.max(F.coalesce(F.col("schema_version"), F.lit(1))).alias("max_sv"),
             F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("deletes_in"),
+            F.sum(F.when(F.col("op") == "P", 1).otherwise(0)).alias("patches_in"),
         ]
         if n_buckets is not None:
             pre = pre.withColumn("_b", _bucket_expr("conv_id", n_buckets))
@@ -177,9 +183,27 @@ class CDCIngestPipeline:
         # events whose source file predates the schema change simply lack
         # tool_meta (all-null) — dropping the all-null column lets the sink
         # observe the batch's TRUE schema and evolve only when v2 arrives.
+        # a partial image merged as a full row nulls every unset column —
+        # silent data loss; refuse before the merge rather than corrupt.
+        # (This pre-aggregation path sees every batch except footer-hinted
+        # parquet replay, where enable_patches is part of the feed
+        # contract — see bootstrap/_sv_hint.)
+        n_patches = sum((r["patches_in"] or 0) for r in partition_rows)
+        if n_patches and not self.config.enable_patches:
+            raise ValueError(
+                f"batch carries {n_patches} op-'P' partial images but "
+                "IngestConfig.enable_patches is off; enable it so patches "
+                "are squashed against the table instead of merged as full "
+                "rows (which would null their unset columns)"
+            )
+
         max_sv = max((r["max_sv"] or 1 for r in partition_rows), default=1)
         if "tool_meta" in good.columns and max_sv < 2:
             good = good.drop("tool_meta")
+        # AFTER the all-null-column drop: the resolver's read-modify-write
+        # may re-introduce table columns (with preserved values) that this
+        # batch's wire version doesn't carry yet
+        good = self._resolve_patches_if_enabled(good)
 
         merge_kwargs = {
             "stats_hints": {
@@ -197,6 +221,13 @@ class CDCIngestPipeline:
             self.lineage.append(stats, partition_rows, rows_quarantined=n_bad)
         self._maybe_compact(stats)
         return stats
+
+    def _resolve_patches_if_enabled(self, good: DataFrame) -> DataFrame:
+        if not self.config.enable_patches:
+            return good
+        from xgeo_spark.operators.patch import resolve_patches
+
+        return resolve_patches(good, self.table, KEY_COLS)
 
     def _normalize_kwarg(self) -> dict:
         if not self.config.normalize_text:
@@ -244,6 +275,7 @@ class CDCIngestPipeline:
 
         if "tool_meta" in good.columns and max_sv < 2:
             good = good.drop("tool_meta")
+        good = self._resolve_patches_if_enabled(good)
 
         obs = Observation()
         good = good.observe(
