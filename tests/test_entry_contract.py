@@ -152,3 +152,16 @@ def test_ivf_recall_vs_brute_force(spark):
     exact = [r["vec_id"] for r in emb_cosine_topk(spark, SF_DIR).collect()][:10]
     recall = len(ivf_ids & set(exact)) / 10.0
     assert recall >= 0.5, (recall, sorted(ivf_ids), exact)
+
+
+def test_approx_distinct_tracks_exact(spark):
+    """HLL++ estimates (events_approx_users' 100 TB path) must track the
+    exact distinct counts within the sketch's configured rsd."""
+    from xgeo_spark.queries import events_approx_users
+
+    rows = events_approx_users(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert abs(r["approx_users"] - r["exact_users"]) <= max(
+            3, 0.06 * r["exact_users"]
+        ), r

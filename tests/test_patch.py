@@ -136,3 +136,24 @@ def test_patch_dialect_canonicalization(spark, tmp_path):
     assert len(got) == 1
     assert got.iloc[0]["text"] == "hello (edited)"
     assert got.iloc[0]["role"] == "user"  # preserved through the patch
+
+
+def test_patch_streaming_matches_fold_oracle(spark, tmp_path):
+    """The streaming path (foreachBatch -> pre-aggregation apply) must fold
+    patches identically to bounded replay."""
+    cfg = ChangeStreamConfig(
+        n_events=6_000, n_convs=120, seed=34, n_files=4, patch_frac=0.15
+    )
+    feed = str(tmp_path / "feed")
+    write_change_stream(feed, cfg)
+    events_pd = generate_change_events(cfg)
+
+    table = ParquetLakeTable(spark, str(tmp_path / "lake"))
+    pipe = CDCIngestPipeline(
+        spark, feed, table,
+        config=IngestConfig(
+            n_buckets=4, enable_patches=True, max_files_per_trigger=1
+        ),
+    )
+    pipe.run_stream(str(tmp_path / "ckpt"), available_now=True)
+    _assert_matches_fold_oracle(table, events_pd)

@@ -1400,6 +1400,29 @@ LIMIT 10
 """
 
 
+def events_approx_users(spark, sf_dir):
+    """Sketch-family distinct counting: HyperLogLog++ approx-distinct users
+    per event type, next to the exact count that bounds its error in the
+    same row. `approx_count_distinct` is the 100 TB path — a fixed-size
+    mergeable sketch, map-side combinable, one pass, no per-group value
+    materialization (exact COUNT(DISTINCT) shuffles every distinct value).
+    HLL++ is unseeded and merge-order-independent, so the result is
+    deterministic across partitionings and pinnable; DuckDB's
+    approx_count_distinct is a different sketch with different estimates,
+    so this is a golden determinism pin, not an independent re-derivation
+    (the exact column doubles as the semantic anchor; the tolerance test
+    in tests/test_entry_contract.py asserts the estimate tracks it)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def cdc_patch_events(spark, sf_dir):
     """Partial-image (op 'P') fold under the driver's value gate: events is
     read as a single-batch change feed where event_id%20==0 is a delete,
@@ -1546,4 +1569,5 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "doc_tfidf_top_terms": (doc_tfidf_top_terms, DOC_TFIDF_SQL),
     "emb_ann_ivf": (emb_ann_ivf, EMB_ANN_IVF_SQL),
     "cdc_patch_events": (cdc_patch_events, CDC_PATCH_SQL),
+    "events_approx_users": (events_approx_users, _GOLDEN.get("events_approx_users")),
 }
