@@ -81,3 +81,34 @@ def test_cli_stream_mode_end_to_end(spark, tmp_path, capsys):
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     expected = lww_oracle(generate_change_events(cfg))
     assert summary["rows"] == len(expected)
+
+
+def test_cli_patch_feed_end_to_end(spark, tmp_path, capsys):
+    """--enable-patches drives the fold through the CLI entry; without it
+    the same feed's patches are quarantined (flag surface works)."""
+    from xgeo_spark.fixtures.generator import (
+        ChangeStreamConfig, fold_oracle, generate_change_events,
+        write_change_stream_parquet,
+    )
+    from xgeo_spark.sinks.parquet_lake import ParquetLakeTable
+
+    cfg = ChangeStreamConfig(
+        n_events=4_000, n_convs=80, seed=35, n_files=2, patch_frac=0.15
+    )
+    feed = str(tmp_path / "feed")
+    write_change_stream_parquet(feed, cfg)
+    rc = main([
+        "--feed-dir", feed,
+        "--lake-dir", str(tmp_path / "lake"),
+        "--mode", "batch",
+        "--n-buckets", "4",
+        "--enable-patches",
+        "--local-cores", "8",
+    ])
+    assert rc == 0
+    got = (
+        ParquetLakeTable(spark, str(tmp_path / "lake"))
+        .read().orderBy("conv_id", "turn_idx").toPandas()
+    )
+    expected = fold_oracle(generate_change_events(cfg))
+    assert got["text"].fillna("∅").tolist() == expected["text"].fillna("∅").tolist()

@@ -92,19 +92,50 @@ def test_patch_replay_idempotent_remerge(spark, tmp_path):
     _assert_matches_fold_oracle(table2, events_pd)
 
 
-def test_patches_without_flag_refuse_loudly(spark, tmp_path):
-    """A patch merged as a full row silently nulls unset columns; the
-    pre-aggregation path must refuse instead."""
+@pytest.mark.parametrize("writer", ["jsonl", "parquet"])
+def test_patches_without_flag_are_quarantined(spark, tmp_path, writer):
+    """A patch merged as a full row would silently null unset columns.
+    With enable_patches off (the default), op-'P' rows must instead be
+    quarantined like any unrecognized dialect — raw op preserved, counted,
+    full-image events still applied — on BOTH apply paths."""
+    import glob
+    import json as jsonlib
+
     cfg = ChangeStreamConfig(
         n_events=3_000, n_convs=60, seed=33, n_files=2, patch_frac=0.2
     )
     feed = str(tmp_path / "feed")
-    write_change_stream(feed, cfg)  # jsonl -> pre-aggregation path
+    (write_change_stream if writer == "jsonl" else write_change_stream_parquet)(
+        feed, cfg
+    )
+    events_pd = generate_change_events(cfg)
+    n_patches = int((events_pd["op"] == "P").sum())
+    assert n_patches > 100
 
+    qdir = str(tmp_path / "quarantine")
     table = ParquetLakeTable(spark, str(tmp_path / "lake"))
-    pipe = CDCIngestPipeline(spark, feed, table, config=IngestConfig(n_buckets=4))
-    with pytest.raises(ValueError, match="enable_patches"):
-        pipe.run_batch_replay(files_per_batch=2)
+    pipe = CDCIngestPipeline(
+        spark, feed, table,
+        config=IngestConfig(n_buckets=4, quarantine_dir=qdir),
+    )
+    pipe.run_batch_replay(files_per_batch=1)
+
+    # full-image events applied as if the patches never existed
+    from xgeo_spark.fixtures.generator import lww_oracle
+
+    expected = lww_oracle(events_pd[events_pd["op"] != "P"])
+    got = table.read().orderBy("conv_id", "turn_idx").toPandas()
+    assert len(got) == len(expected)
+    pd.testing.assert_series_equal(
+        got["text"].fillna("∅"), expected["text"].fillna("∅"), check_names=False
+    )
+
+    # every patch is in quarantine with its raw op value
+    qrows = []
+    for p in glob.glob(f"{qdir}/*.json"):
+        with open(p) as f:
+            qrows += [jsonlib.loads(line) for line in f if line.strip()]
+    assert sum(r.get("op") == "P" for r in qrows) == n_patches
 
 
 def test_patch_dialect_canonicalization(spark, tmp_path):

@@ -111,3 +111,42 @@ def test_partial_fanout_replay_skips_per_table(spark, tmp_path):
     pd.testing.assert_series_equal(
         got["text"].fillna("∅"), expected["text"].fillna("∅"), check_names=False
     )
+
+
+def test_route_null_rows_reach_dead_letter(spark, tmp_path):
+    """A malformed row routes to NULL (its key is null and the route
+    expression null-propagates, like any payload-derived route — note a
+    hash route does NOT: xxhash64(NULL) is the seed); it must be counted
+    AND land in the router's dead-letter dir — never silently dropped."""
+    import glob
+    import json as jsonlib
+    import os
+
+    cfg = ChangeStreamConfig(n_events=2_000, n_convs=50, seed=23, n_files=1)
+    feed = str(tmp_path / "feed")
+    from xgeo_spark.fixtures.generator import write_change_stream
+
+    write_change_stream(feed, cfg)
+    # append a malformed line and a record with a null key
+    fn = sorted(os.listdir(feed))[0]
+    with open(os.path.join(feed, fn), "a") as f:
+        f.write("{this is not json\n")
+        f.write('{"lsn": 999999, "offset": 999999, "op": "U", "conv_id": null, '
+                '"turn_idx": 0, "text": "orphan", "schema_version": 1}\n')
+
+    dead = str(tmp_path / "dead")
+    lakes = {n: ParquetLakeTable(spark, str(tmp_path / n)) for n in ("a", "b")}
+    tenant = F.substring("conv_id", 6, 8).cast("int") % 2
+    router = MultiTableRouter(
+        spark, feed, lakes,
+        F.when(tenant == 0, "a").when(tenant == 1, "b"),
+        config=IngestConfig(n_buckets=2),
+        unrouted_dir=dead,
+    )
+    out = router.run_batch_replay(files_per_batch=1)
+    assert out[0]["unrouted"] == 2  # corrupt line + null-key record
+    rows = []
+    for p in glob.glob(f"{dead}/*.json"):
+        with open(p) as f:
+            rows += [jsonlib.loads(line) for line in f if line.strip()]
+    assert len(rows) == 2

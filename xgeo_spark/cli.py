@@ -34,6 +34,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--files-per-batch", type=int, default=4)
     p.add_argument("--normalize-text", action="store_true")
+    p.add_argument("--enable-patches", action="store_true",
+                   help="fold op-'P' partial images against the table "
+                        "(otherwise patches are quarantined)")
+    p.add_argument("--min-lsn", type=int, default=None,
+                   help="batch mode: resume watermark — skip feed files "
+                        "whose footer stats prove max(lsn) <= MIN_LSN and "
+                        "filter older events (see bootstrap_snapshot)")
     p.add_argument("--continuous", action="store_true",
                    help="stream mode: keep tailing instead of availableNow-and-exit")
     p.add_argument("--local-cores", type=int, default=None,
@@ -72,6 +79,7 @@ def main(argv: list[str] | None = None) -> int:
             normalize_text=args.normalize_text,
             lineage=args.lineage_dir is not None,
             quarantine_dir=args.quarantine_dir,
+            enable_patches=args.enable_patches,
         ),
     )
 
@@ -80,7 +88,9 @@ def main(argv: list[str] | None = None) -> int:
         # re-run over the same feed dir re-presents identical batch ids and
         # the sink's idempotency check skips everything already committed —
         # keep files_per_batch stable across re-runs of the same lake
-        stats = pipe.run_batch_replay(files_per_batch=args.files_per_batch)
+        stats = pipe.run_batch_replay(
+            files_per_batch=args.files_per_batch, min_lsn=args.min_lsn
+        )
         for s in stats:
             print(json.dumps(s.as_row()))
     else:

@@ -65,9 +65,6 @@ def resolve_patches(
     others = batch.join(keys_b, key_cols, "left_anti")
 
     base = _current_rows_for(table, patch_keys, key_cols)
-    payload = [
-        c for c in batch.columns if c not in NON_PAYLOAD and c not in key_cols
-    ]
     if base is not None:
         base_evs = base.join(keys_b, key_cols, "left_semi").select(
             *key_cols,

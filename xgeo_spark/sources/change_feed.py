@@ -148,8 +148,22 @@ class ChangeFeedSource:
         return _canonicalize(df.withColumn("_corrupt", F.lit(None).cast("string")))
 
     @staticmethod
-    def split_good_bad(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-        """Quarantine split: rows that failed decode or op-canonicalization."""
+    def split_good_bad(
+        df: DataFrame, allow_patches: bool = True
+    ) -> tuple[DataFrame, DataFrame]:
+        """Quarantine split: rows that failed decode or op-canonicalization.
+
+        ``allow_patches=False`` routes op-'P' partial images to quarantine
+        exactly like any unrecognized dialect (raw op preserved for
+        reprocessing): a consumer that has not opted into patch semantics
+        must never merge a partial image as a full row — that would null
+        every unset column — and must not lose the record either."""
+        if not allow_patches:
+            df = df.withColumn(
+                "_op",
+                F.when(F.col("_op") == "P", F.lit(None).cast("string"))
+                .otherwise(F.col("_op")),
+            )
         bad = df.filter(
             F.col("_corrupt").isNotNull() | F.col("_op").isNull()
             | F.col("conv_id").isNull() | F.col("lsn").isNull()

@@ -112,7 +112,9 @@ class CDCIngestPipeline:
         foreachBatch — where Observation deadlocks — and JSON feeds), the
         original pre-aggregation pass runs.
         """
-        good, bad = ChangeFeedSource.split_good_bad(batch_df)
+        good, bad = ChangeFeedSource.split_good_bad(
+            batch_df, allow_patches=self.config.enable_patches
+        )
 
         n_bad = 0
         if self.config.quarantine_dir is not None:
@@ -122,7 +124,13 @@ class CDCIngestPipeline:
             if n_bad:
                 bad.write.mode("append").json(self.config.quarantine_dir)
 
-        if max_sv_hint is not None:
+        # With patches enabled, stay on the pre-aggregation path even when a
+        # footer hint exists: (a) its metrics are taken BEFORE the resolver
+        # rewrites the batch, so lineage describes the wire events on both
+        # paths identically; (b) the single-job path's Observation would sit
+        # upstream of the resolver's semi/anti split, which references the
+        # observed node twice in one action.
+        if max_sv_hint is not None and not self.config.enable_patches:
             return self._apply_batch_single_job(good, batch_id, max_sv_hint, n_bad)
 
         # ONE pre-aggregation pass over the batch computes everything the
@@ -154,7 +162,6 @@ class CDCIngestPipeline:
             ),
             F.max(F.coalesce(F.col("schema_version"), F.lit(1))).alias("max_sv"),
             F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("deletes_in"),
-            F.sum(F.when(F.col("op") == "P", 1).otherwise(0)).alias("patches_in"),
         ]
         if n_buckets is not None:
             pre = pre.withColumn("_b", _bucket_expr("conv_id", n_buckets))
@@ -183,20 +190,6 @@ class CDCIngestPipeline:
         # events whose source file predates the schema change simply lack
         # tool_meta (all-null) — dropping the all-null column lets the sink
         # observe the batch's TRUE schema and evolve only when v2 arrives.
-        # a partial image merged as a full row nulls every unset column —
-        # silent data loss; refuse before the merge rather than corrupt.
-        # (This pre-aggregation path sees every batch except footer-hinted
-        # parquet replay, where enable_patches is part of the feed
-        # contract — see bootstrap/_sv_hint.)
-        n_patches = sum((r["patches_in"] or 0) for r in partition_rows)
-        if n_patches and not self.config.enable_patches:
-            raise ValueError(
-                f"batch carries {n_patches} op-'P' partial images but "
-                "IngestConfig.enable_patches is off; enable it so patches "
-                "are squashed against the table instead of merged as full "
-                "rows (which would null their unset columns)"
-            )
-
         max_sv = max((r["max_sv"] or 1 for r in partition_rows), default=1)
         if "tool_meta" in good.columns and max_sv < 2:
             good = good.drop("tool_meta")
@@ -275,7 +268,9 @@ class CDCIngestPipeline:
 
         if "tool_meta" in good.columns and max_sv < 2:
             good = good.drop("tool_meta")
-        good = self._resolve_patches_if_enabled(good)
+        # no patch resolution here: patch-enabled batches take the
+        # pre-aggregation path (see apply_batch), so this path only ever
+        # sees full-image events
 
         obs = Observation()
         good = good.observe(

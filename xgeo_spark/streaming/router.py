@@ -43,20 +43,25 @@ class MultiTableRouter:
         route: Column,
         lineage_root: str | None = None,
         config: IngestConfig | None = None,
+        unrouted_dir: str | None = None,
     ):
         """``route``: a Column evaluating to the target-table name per
         event (e.g. an explicit ``table`` payload column, or a sharding
         expression over the key). Events routing to a name not in
-        ``tables`` are counted and dropped per batch (``unrouted`` in the
-        returned stats dict) — the dead-letter analogue of the quarantine
-        split, kept separate because an unknown TARGET is a config error,
-        not a malformed record."""
+        ``tables`` — including NULL routes, which is where a key-derived
+        expression sends malformed rows with a null key — are counted per
+        batch (``unrouted`` in the returned stats dict) and, when
+        ``unrouted_dir`` is set, written there as JSON with their raw
+        payload: the dead-letter analogue of the quarantine split, kept
+        separate because no per-table pipeline can own a record whose
+        target is unknown."""
         import os
 
         self.spark = spark
         self.source = ChangeFeedSource(spark, feed_dir)
         self.route = route
         self.config = config or IngestConfig()
+        self.unrouted_dir = unrouted_dir
         self._pipes: dict[str, CDCIngestPipeline] = {
             name: CDCIngestPipeline(
                 spark,
@@ -80,9 +85,13 @@ class MultiTableRouter:
             for name, pipe in self._pipes.items():
                 sub = routed.filter(F.col("_route") == F.lit(name)).drop("_route")
                 out[name] = pipe.apply_batch(sub, batch_id)
-            out["unrouted"] = routed.filter(
+            unrouted = routed.filter(
                 ~F.col("_route").isin(known) | F.col("_route").isNull()
-            ).count()
+            )
+            n_unrouted = unrouted.count()
+            if n_unrouted and self.unrouted_dir is not None:
+                unrouted.write.mode("append").json(self.unrouted_dir)
+            out["unrouted"] = n_unrouted
             return out
         finally:
             routed.unpersist()
@@ -99,8 +108,12 @@ class MultiTableRouter:
         )
         out = []
         bid = start_batch_id
+        any_pipe = next(iter(self._pipes.values()))
         for i in range(0, len(files), files_per_batch):
             chunk = files[i : i + files_per_batch]
+            # same decode-parallelism fix as the single-table replay: size
+            # input splits so the scan stage exposes ~3 tasks per core
+            any_pipe._tune_input_splits(chunk)
             batch = self.source.read_batch(chunk)
             out.append(self.apply_batch(batch, bid))
             bid += 1
