@@ -186,7 +186,7 @@ def run_cdc_bench(
     }
 
 
-def run_query_bench(spark, sf_dir: str, reps: int = 2) -> dict[str, float]:
+def run_query_bench(spark, sf_dir: str, reps: int = 3) -> dict[str, float]:
     """Each headline query ``reps`` times, per-query best wall (same noisy-
     host rationale as the CDC reps; the plan and the input are identical
     per rep, and the noop sink caches nothing between runs)."""
@@ -220,11 +220,20 @@ def one_run(
     try:
         cdc = run_cdc_bench(spark, sf, workdir, feed_dir=feed_dir, reps=cdc_reps)
         # the CDC pipeline tunes session confs for micro-batch ingest (AQE
-        # off, small input splits); restore analytics-friendly settings so
-        # the query phase isn't measured under ingest tuning
+        # off); restore analytics settings for the query phase. Split size
+        # scales with the data: the biggest table should expose ~2 tasks
+        # per core (at sf0.1 the 128 MB default bin-packs 600k-row lineitem
+        # into 3 tasks and 29 cores idle through every scan; at real scale
+        # the clamp keeps the standard 128 MB).
         spark.conf.set("spark.sql.adaptive.enabled", "true")
-        spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 << 20))
-        spark.conf.set("spark.sql.files.openCostInBytes", str(4 << 20))
+        biggest = max(
+            (os.path.getsize(os.path.join(sf_dir, f))
+             for f in os.listdir(sf_dir) if f.endswith(".parquet")),
+            default=128 << 20,
+        )
+        split = min(max(biggest // max(2 * cpus, 1), 1 << 20), 128 << 20)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+        spark.conf.set("spark.sql.files.openCostInBytes", str(min(split, 1 << 20)))
         queries = {} if cdc_only else run_query_bench(spark, sf_dir)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)

@@ -61,7 +61,14 @@ _SQL_DEC_AVG = "(CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) / COUNT({c}))"
 def q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: scan-heavy agg with arithmetic; only 7 of 11 columns
     are read (check ReadSchema in .explain) and the date filter is pushed
-    to the parquet scan."""
+    to the parquet scan.
+
+    Deliberate cost note: the money sums accumulate in DECIMAL (measured
+    ~5x a double sum) because exactness is the point — decimal addition is
+    associative/commutative, so the result is bit-identical across any
+    partitioning AND across engines (the DuckDB oracle), where float sums
+    are order-dependent. Real TPC-H stores these columns as DECIMAL; this
+    is the semantics a money pipeline wants, not an optimization gap."""
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
