@@ -54,3 +54,56 @@ def windowed_event_counts(
             "max_turn",
         )
     )
+
+
+def join_updates_to_subsequent_deletes(
+    events: DataFrame,
+    horizon_minutes: int = 10,
+    watermark_minutes: int = 10,
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each full-image event
+    paired with the delete of the SAME (conv_id, turn_idx) that follows it
+    within ``horizon_minutes`` of event time — the short-lived-turn
+    detector (write-then-retract within the horizon).
+
+    Both sides are derived from the one change feed by filter, each with
+    its own watermark; the join condition carries the time bound
+    (d_ts in (u_ts, u_ts + horizon]), which is what lets Structured
+    Streaming expire join state: an update older than
+    watermark + horizon can never match a future delete and is dropped.
+    State is therefore O(events in horizon), independent of stream
+    length — the property that makes this join runnable against an
+    unbounded 10^10-event feed. (The reference has no joins at all,
+    SURVEY.md §2.3; this is target-engine streaming surface.)
+    """
+    upd = (
+        events.filter(F.col("op") != "D")
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("lsn").alias("u_lsn"),
+            F.col("ts").alias("u_ts"),
+        )
+        .withWatermark("u_ts", f"{watermark_minutes} minutes")
+    )
+    dels = (
+        events.filter(F.col("op") == "D")
+        .select(
+            F.col("conv_id").alias("d_conv_id"),
+            F.col("turn_idx").alias("d_turn_idx"),
+            F.col("lsn").alias("d_lsn"),
+            F.col("ts").alias("d_ts"),
+        )
+        .withWatermark("d_ts", f"{watermark_minutes} minutes")
+    )
+    return upd.join(
+        dels,
+        (F.col("conv_id") == F.col("d_conv_id"))
+        & (F.col("turn_idx") == F.col("d_turn_idx"))
+        & (F.col("d_ts") > F.col("u_ts"))
+        & (
+            F.col("d_ts")
+            <= F.col("u_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        ),
+        "inner",
+    ).select("conv_id", "turn_idx", "u_lsn", "u_ts", "d_lsn", "d_ts")
