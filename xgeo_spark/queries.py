@@ -1407,6 +1407,74 @@ LIMIT 10
 """
 
 
+def events_cube(spark, sf_dir):
+    """CUBE grouping sets over (event_type, hour-of-day): all four grouping
+    combinations in ONE pass — Catalyst expands the cube into a single
+    Expand + hash aggregate, so the scan isn't repeated per grouping set
+    (the hand-rolled alternative is 4 scans + a union). Grouping-null
+    markers are made explicit ('ALL') so the oracle comparison is
+    unambiguous about which nulls are grouping vs data."""
+    ev = _t(spark, sf_dir, "events")
+    hod = F.hour("ts").alias("hod")
+    return (
+        ev.cube(F.col("event_type"), hod)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum("value", "sum_value"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("hod").cast("string"), F.lit("ALL")).alias("hod"),
+            "n",
+            "sum_value",
+        )
+        .orderBy("event_type", "hod")
+    )
+
+
+EVENTS_CUBE_SQL = f"""
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(CAST(hod AS VARCHAR), 'ALL') AS hod,
+       COUNT(*) AS n,
+       {_SQL_DEC_SUM.format(c='value')} AS sum_value
+FROM (SELECT event_type, CAST(hour(ts) AS INT) AS hod, value FROM events)
+GROUP BY CUBE (event_type, hod)
+ORDER BY event_type, hod
+"""
+
+
+def events_pivot(spark, sf_dir):
+    """Pivot event_type to columns (per-user event-mix matrix) with a
+    PINNED pivot-column list: at 100 TB an unpinned pivot needs an extra
+    distinct-values job and risks an unbounded column explosion; pinning
+    makes it a single pass of conditional aggregates (what Catalyst lowers
+    pivot to anyway). The oracle states the same thing as explicit
+    FILTERed counts."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_PIVOT_SQL = """
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 def events_approx_users(spark, sf_dir):
     """Sketch-family distinct counting: HyperLogLog++ approx-distinct users
     per event type, next to the exact count that bounds its error in the
@@ -1577,4 +1645,6 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "emb_ann_ivf": (emb_ann_ivf, EMB_ANN_IVF_SQL),
     "cdc_patch_events": (cdc_patch_events, CDC_PATCH_SQL),
     "events_approx_users": (events_approx_users, _GOLDEN.get("events_approx_users")),
+    "events_cube": (events_cube, EVENTS_CUBE_SQL),
+    "events_pivot": (events_pivot, EVENTS_PIVOT_SQL),
 }
