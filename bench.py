@@ -318,7 +318,7 @@ def scaling_run(sf_dir: str, n_events: int) -> dict:
     both legs; each leg runs in a fresh subprocess (fresh JVM, fresh lake).
     The input must be large enough that parallel work dominates per-batch
     fixed overhead — Amdahl hides real scaling on toy inputs, which is why
-    the default here is 40M events rather than the per-round bench's 2M
+    the default here is 20M events rather than the per-round bench's 2M
     (per-micro-batch driver overhead is a CONSTANT ~1-3 s; at 10^10 events
     the same amortization happens by construction).
     """

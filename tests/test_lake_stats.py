@@ -187,3 +187,42 @@ def test_scan_and_lookup_without_stats_still_correct(table, spark, tmp_path):
     got = {r["conv_id"] for r in
            table.scan(ts_from=dt.datetime(2026, 2, 1)).collect()}
     assert got == set(CONVS_B)  # unpruned plan, exact result
+
+
+def test_lookup_on_long_key_probes_right_bucket(spark, tmp_path):
+    """xxhash64 hashes int and long literals differently; lookup must cast
+    the probe value to the key column's type or it plans the wrong bucket
+    and returns empty for an existing key."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    t = ParquetLakeTable(spark, str(tmp_path / "lake_long"))
+    t.create(schema, ["user_id"], n_buckets=8)
+    rows = spark.createDataFrame(
+        [(i, i, "U", i, f"v{i}", dt.datetime(2026, 1, 1)) for i in range(20)],
+        "lsn long, offset long, op string, user_id long, v string, ts timestamp",
+    )
+    t.merge(rows, batch_id=0)
+    for k in (7, 13):
+        got = t.lookup(k).collect()
+        assert len(got) == 1 and got[0]["v"] == f"v{k}", (k, got)
+
+
+def test_scan_accepts_epoch_micros_bounds(spark, table):
+    """scan()'s documented int bounds are epoch MICROSECONDS; they must
+    produce the same rows as the equivalent datetime bounds (previously a
+    raw int literal against the timestamp column was a type error)."""
+    lo = int((FEB - dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+    got_int = {
+        (r["conv_id"], r["turn_idx"]) for r in table.scan(ts_from=lo).collect()
+    }
+    got_dt = {
+        (r["conv_id"], r["turn_idx"]) for r in table.scan(ts_from=FEB).collect()
+    }
+    assert got_int == got_dt and len(got_int) > 0

@@ -122,3 +122,43 @@ def test_empty_window_and_errors(spark, tmp_path):
     t.expire_versions(keep_last=2)
     with pytest.raises(ValueError, match="not retained"):
         t.table_changes(0)
+
+
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_late_lower_lsn_event_emits_no_stale_change(spark, tmp_path, mode):
+    """A late event with a LOWER lsn than the already-applied state loses
+    LWW on read() — and must lose in the change feed too: emitting its
+    postimage would hand consumers a stale value. The winner is decided
+    against ALL of the key's rows at v_to, not just the in-range ones."""
+    t = ParquetLakeTable(spark, str(tmp_path / f"lake_{mode}"))
+    t.create(TRANSCRIPT_SCHEMA, KEY_COLS, n_buckets=2, mode=mode)
+    t.merge(_batch(spark, 200, {0: "new", 1: "other"}), batch_id=0)   # v1
+    v1 = t.current_version()
+    t.merge(_batch(spark, 100, {0: "stale"}), batch_id=1)             # v2: late
+    v2 = t.current_version()
+
+    assert _state(t)[("c", 0)] == "new"  # read() keeps the lsn-200 winner
+    changes = t.table_changes(v1, v2).collect()
+    keys = {(r["conv_id"], r["turn_idx"]) for r in changes}
+    assert ("c", 0) not in keys, f"stale postimage emitted: {changes}"
+    # and the consumer-loop contract still closes
+    assert _apply_changes(_state(t, version=v1), changes) == _state(t, version=v2)
+
+
+def test_late_lower_lsn_event_does_not_resurrect_delete(spark, tmp_path):
+    """Delete at lsn 200 propagated; a late U at lsn 150 merges later and
+    loses — the change feed must not emit an upsert for the dead key."""
+    t = ParquetLakeTable(spark, str(tmp_path / "lake"))
+    t.create(TRANSCRIPT_SCHEMA, KEY_COLS, n_buckets=2, mode="mor")
+    t.merge(_batch(spark, 0, {0: "alive", 1: "x"}), batch_id=0)        # v1
+    t.merge(_batch(spark, 200, {0: "dead"}, op="D"), batch_id=1)       # v2
+    v2 = t.current_version()
+    t.merge(_batch(spark, 150, {0: "zombie"}), batch_id=2)             # v3: late
+    v3 = t.current_version()
+
+    assert ("c", 0) not in _state(t)  # still deleted on read()
+    changes = t.table_changes(v2, v3).collect()
+    ups = [r for r in changes if (r["conv_id"], r["turn_idx"]) == ("c", 0)
+           and r["_change_type"] == "upsert"]
+    assert not ups, f"resurrection upsert emitted: {ups}"
+    assert _apply_changes(_state(t, version=v2), changes) == _state(t, version=v3)

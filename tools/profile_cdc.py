@@ -56,9 +56,9 @@ import xgeo_spark.sinks.parquet_lake as pl
 orig_write = pl.ParquetLakeTable._write_buckets
 orig_commit = pl.ParquetLakeTable._commit
 
-def timed_write(self, df, version, m):
+def timed_write(self, *args, **kwargs):
     t = time.perf_counter()
-    r = orig_write(self, df, version, m)
+    r = orig_write(self, *args, **kwargs)
     print(f"    _write_buckets: {time.perf_counter()-t:.2f}s", flush=True)
     return r
 

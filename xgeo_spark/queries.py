@@ -1092,7 +1092,15 @@ def _build_events_lake(spark, sf_dir):
     table read as a deterministic change feed (lsn = event_id, key =
     (user_id, event_type), every 20th event a delete), applied through the
     real sink in two batches so the merge-on-read delta reduce is
-    exercised on read."""
+    exercised on read.
+
+    Built ONCE per (session, sf_dir) and reused by every CDC gate query in
+    the process — rebuilding leaked a temp lake dir and paid two merges +
+    a compaction per query per gate run."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _EVENTS_LAKE_CACHE.get(key)
+    if cached is not None and cached.exists():
+        return cached
     import tempfile
 
     from pyspark.sql import types as T
@@ -1127,7 +1135,11 @@ def _build_events_lake(spark, sf_dir):
     mid = ev.agg(F.expr("percentile_approx(event_id, 0.5)")).first()[0]
     table.merge(updates.filter(F.col("lsn") <= mid), batch_id=0)
     table.merge(updates.filter(F.col("lsn") > mid), batch_id=1)
+    _EVENTS_LAKE_CACHE[key] = table
     return table
+
+
+_EVENTS_LAKE_CACHE: dict = {}
 
 
 def cdc_apply_events(spark, sf_dir):

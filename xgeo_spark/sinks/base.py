@@ -27,6 +27,9 @@ class MergeStats:
     buckets_touched: int = 0
     offset_range: tuple[int, int] | None = None
     schema_changed: bool = False
+    # observed batch text bytes (fast path only; pre-agg path records it
+    # per partition instead); surfaced in the lineage summary row
+    approx_bytes: int | None = None
     partition_rows: dict[int, int] = field(default_factory=dict)
     # bucket -> data files this merge wrote (table-relative); not part of
     # as_row — consumed by the pipeline's per-bucket lineage fast path

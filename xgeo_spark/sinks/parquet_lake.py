@@ -168,6 +168,16 @@ class ParquetLakeTable(LakeTable):
             (value - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000
         )
 
+    @staticmethod
+    def _ts_bound_lit(v):
+        """Residual-filter literal for a ts bound: ints/floats are epoch
+        MICROSECONDS (the same unit ``_ts_us`` uses for manifest pruning —
+        a raw numeric literal would be a type error against a timestamp
+        column), datetimes pass through."""
+        if isinstance(v, (int, float)):
+            return F.timestamp_micros(F.lit(int(v)))
+        return F.lit(v)
+
     def _collect_file_stats(self, written: dict[int, list[str]]) -> dict[str, dict]:
         """Per-file (rows, _lsn min/max, ts min/max) from the just-written
         parquet footers — the Iceberg-manifest-statistics analogue that lets
@@ -337,25 +347,31 @@ class ParquetLakeTable(LakeTable):
         m = self.manifest()
         n_buckets = m["n_buckets"]
         key_col = m["key_cols"][0]
+        user = T.StructType.fromJson(json.loads(m["schema"]))
+        key_type = next(f.dataType for f in user.fields if f.name == key_col)
+        # the literal MUST be cast to the key column's exact type before
+        # hashing: xxhash64 hashes int and long representations of the
+        # same value differently, so an uncast Python int probes the
+        # wrong bucket of a long-keyed table (and "works" only for
+        # values that don't fit an int)
+        lit_key = F.lit(key_value).cast(key_type)
         b = (
             self.spark.range(1)
             .select(
-                F.pmod(F.xxhash64(F.lit(key_value)), F.lit(n_buckets))
+                F.pmod(F.xxhash64(lit_key), F.lit(n_buckets))
                 .cast("int")
                 .alias("b")
             )
             .collect()[0]["b"]
         )
-        schema = self._physical_schema(
-            T.StructType.fromJson(json.loads(m["schema"]))
-        )
+        schema = self._physical_schema(user)
         base = m["buckets"].get(str(b), [])
         delta = (m.get("deltas") or {}).get(str(b), [])
         if not base and not delta:
             df = self.spark.createDataFrame([], schema)
         else:
             df = self._read_files(base + delta, schema).filter(
-                F.col(key_col) == F.lit(key_value)
+                F.col(key_col) == lit_key
             )
             if delta:
                 df = self._lww_reduce(df, m["key_cols"])
@@ -464,9 +480,9 @@ class ParquetLakeTable(LakeTable):
         if lsn_to is not None:
             df = df.filter(F.col("_lsn") <= F.lit(lsn_to))
         if ts_from is not None:
-            df = df.filter(F.col("ts") >= F.lit(ts_from))
+            df = df.filter(F.col("ts") >= self._ts_bound_lit(ts_from))
         if ts_to is not None:
-            df = df.filter(F.col("ts") <= F.lit(ts_to))
+            df = df.filter(F.col("ts") <= self._ts_bound_lit(ts_to))
         if include_system:
             return df
         return df.filter(~F.col("_deleted")).drop("_lsn", "_seq", "_deleted")
@@ -484,10 +500,15 @@ class ParquetLakeTable(LakeTable):
 
         - file pruning is a pure manifest diff: only files first referenced
           after ``v_from`` are read;
-        - rows those files CARRY FORWARD from older commits (compaction and
-          cow rewrites preserve each winner's original ``_seq``) are cut by
-          the ``_seq``-range predicate — pushed to the parquet scan, so
-          row groups of re-folded old data are skipped via footer stats;
+        - candidate keys come from in-range rows (``_seq``-range predicate
+          pushed to the parquet scan of the diffed files); the NET winner
+          per candidate key is then decided against ALL of that key's rows
+          in its bucket at ``v_to`` — not just the in-range ones — so a
+          LATE lower-lsn event merged in-range that LOSES to an earlier
+          commit's row emits NO change (and cannot resurrect a previously
+          propagated delete). Postimage correctness beats read volume
+          here: the extra read is the touched buckets' base, O(touched
+          buckets), still never two table scans;
         - multiple in-range writes to one key collapse to the last writer
           (same ``(_lsn, _seq)`` total order as ``read()``). An in-range
           update that restores a key's prior value still emits an upsert
@@ -533,10 +554,28 @@ class ParquetLakeTable(LakeTable):
                 F.lit("upsert").alias("_change_type"),
                 F.col("_seq").alias("_commit_version"),
             ).limit(0)
+        key_cols = m_to["key_cols"]
         changed = self._read_files(added, schema).filter(
             (F.col("_seq") > v_from) & (F.col("_seq") <= v_to)
         )
-        net = self._lww_reduce(changed, m_to["key_cols"])
+        touched_keys = changed.select(*key_cols).distinct()
+        # every file (at v_to) of every bucket that received a diffed file:
+        # the candidate set for deciding each touched key's TRUE winner
+        added_set = set(added)
+        bucket_files: list[str] = []
+        for coll in (m_to["buckets"], m_to.get("deltas") or {}):
+            for b, fl in coll.items():
+                if any(f in added_set for f in fl):
+                    bucket_files.extend(
+                        m_to["buckets"].get(b, [])
+                        + (m_to.get("deltas") or {}).get(b, [])
+                    )
+        cand = self._read_files(
+            sorted(set(bucket_files)), schema
+        ).join(touched_keys, key_cols, "left_semi")
+        net = self._lww_reduce(cand, key_cols).filter(
+            (F.col("_seq") > v_from) & (F.col("_seq") <= v_to)
+        )
         return net.select(
             *user_cols,
             F.when(F.col("_deleted"), F.lit("delete"))
@@ -978,12 +1017,15 @@ class ParquetLakeTable(LakeTable):
                 for b, fl in (m.get("deltas") or {}).items()
             }
 
+        observed_bytes = None
         if post_write_stats is not None:
             observed = post_write_stats() or {}
             if offset_range is None and observed.get("offset_start") is not None:
                 offset_range = (
                     int(observed["offset_start"]), int(observed["offset_end"])
                 )
+            if observed.get("approx_bytes") is not None:
+                observed_bytes = int(observed["approx_bytes"])
             if stats_hints is None:
                 stats_hints = {
                     "rows_in": int(observed.get("rows_in") or 0),
@@ -1030,6 +1072,7 @@ class ParquetLakeTable(LakeTable):
             buckets_touched=len(touched),
             offset_range=offset_range,
             schema_changed=schema_changed,
+            approx_bytes=observed_bytes,
             written_files=written,
         )
 

@@ -65,6 +65,11 @@ class ChangeFeedConsumer:
                 best = max(best, int(m.group(1)))
         return best
 
+    # markers retained behind the newest one; bounds checkpoint-dir growth
+    # (and the per-poll listing) on long-lived consumers while keeping a
+    # forensic tail
+    KEEP_MARKERS = 8
+
     def _checkpoint(self, version: int) -> None:
         try:
             self.fs.write_text_commit(
@@ -73,6 +78,25 @@ class ChangeFeedConsumer:
             )
         except FileExistsError:
             pass  # a replay re-consumed an already-checkpointed range
+        self._prune_markers()
+
+    def _prune_markers(self) -> None:
+        """Delete all but the newest KEEP_MARKERS marker files. Safe at any
+        point: ``last_consumed`` only needs the maximum, and markers are
+        create-only, so a concurrent reader can never observe a smaller
+        maximum than before the prune."""
+        versions = sorted(
+            int(m.group(1))
+            for m in (
+                _CKPT_RE.match(n)
+                for n in self.fs.list_names(self.checkpoint_path)
+            )
+            if m
+        )
+        for v in versions[: -self.KEEP_MARKERS]:
+            self.fs.delete(
+                posixpath.join(self.checkpoint_path, f"consumed-{v:012d}")
+            )
 
     # ---------- polling ----------
 

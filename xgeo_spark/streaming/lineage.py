@@ -118,7 +118,7 @@ class LineageLog:
                 "rows_upserted": stats.rows_upserted,
                 "rows_deleted": stats.rows_deleted,
                 "rows_quarantined": rows_quarantined,
-                "approx_bytes": None,
+                "approx_bytes": getattr(stats, "approx_bytes", None),
                 "skipped": stats.skipped,
                 "committed_at": now,
             }
