@@ -45,9 +45,13 @@ def _assert_matches_fold_oracle(table, events_pd):
 
 @pytest.mark.parametrize("writer", ["jsonl", "parquet"])
 def test_patch_replay_matches_fold_oracle(spark, tmp_path, writer):
-    """Both apply paths (jsonl -> pre-aggregation, parquet -> footer-hinted
-    single-job) must fold patches identically, across micro-batch
-    boundaries (patches in batch k hit rows merged in batch k-1)."""
+    """Both writers must fold patches identically, across micro-batch
+    boundaries (patches in batch k hit rows merged in batch k-1). NOTE:
+    with enable_patches=True apply_batch forces the pre-aggregation path
+    for BOTH writers (pipeline.py), so this parametrization covers the two
+    FEED formats through one apply path — the footer-hinted single-job
+    path is by design unreachable with patches on and is covered by the
+    patch-free replay tests instead."""
     cfg = _cfg()
     feed = str(tmp_path / "feed")
     (write_change_stream if writer == "jsonl" else write_change_stream_parquet)(

@@ -145,8 +145,17 @@ def test_route_null_rows_reach_dead_letter(spark, tmp_path):
     )
     out = router.run_batch_replay(files_per_batch=1)
     assert out[0]["unrouted"] == 2  # corrupt line + null-key record
-    rows = []
-    for p in glob.glob(f"{dead}/*.json"):
-        with open(p) as f:
-            rows += [jsonlib.loads(line) for line in f if line.strip()]
-    assert len(rows) == 2
+
+    def _dead_rows():
+        rows = []
+        # dead letters land under batch_id=N subdirs (idempotent rewrite)
+        for p in glob.glob(f"{dead}/**/*.json", recursive=True):
+            with open(p) as f:
+                rows += [jsonlib.loads(line) for line in f if line.strip()]
+        return rows
+
+    assert len(_dead_rows()) == 2
+    # crash-and-replay of the same batch must REWRITE, not re-append,
+    # its dead letters (same recovery protocol as the per-table merges)
+    router.run_batch_replay(files_per_batch=1)
+    assert len(_dead_rows()) == 2

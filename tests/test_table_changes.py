@@ -94,6 +94,45 @@ def test_changes_across_compaction(spark, tmp_path):
     assert {r["turn_idx"] for r in post.collect()} == {5}
 
 
+def test_compaction_window_prunes_with_footer_stats(spark, tmp_path):
+    """A window spanning a compaction re-references every compacted
+    bucket's base under new names; footer _seq stats must drop the files
+    holding only pre-window rows from the diff scan instead of rescanning
+    the whole refolded base. Asserts on the actual planned file sets (spy
+    on _read_files) AND that the pruned read stays correct."""
+    t = _make(spark, tmp_path, "mor")          # v1..v4, all one conv "c"
+    t.compact()                                 # v5: refolds, carries _seq
+    v5 = t.current_version()
+    t.merge(_batch(spark, 40, {5: "f1"}), batch_id=4)   # v6
+    m = t.manifest()
+    stats = m["file_stats"]
+    assert any(s.get("seq_max") is not None for s in stats.values())
+
+    reads: list[list[str]] = []
+    orig = ParquetLakeTable._read_files
+
+    def spy(self, files, schema):
+        reads.append(list(files))
+        return orig(self, files, schema)
+
+    ParquetLakeTable._read_files = spy
+    try:
+        changes = t.table_changes(v5).collect()
+    finally:
+        ParquetLakeTable._read_files = orig
+    # correctness first
+    got = _apply_changes(_state(t, version=v5), changes)
+    assert got == _state(t)
+    # the diff scan (first read) must exclude every file whose footer
+    # proves all rows are <= v5 — i.e. the compaction's refolded base
+    diff_files = reads[0]
+    for f in diff_files:
+        s = stats.get(f) or {}
+        assert s.get("seq_max") is None or s["seq_max"] > v5, (
+            f"unpruned pre-window file in diff scan: {f} {s}"
+        )
+
+
 def test_changes_across_schema_evolution(spark, tmp_path):
     # window spans a commit that ADDS a column: changes are emitted at
     # v_to's schema, rows written before the evolution read as null

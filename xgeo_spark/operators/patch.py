@@ -138,10 +138,26 @@ def _current_rows_for(table, patch_keys: DataFrame, key_cols: list[str]):
         m = table.manifest()
         if not m["buckets"] and not (m.get("deltas") or {}):
             return None
+        import json
+
+        from pyspark.sql import types as T
+
+        # cast the probe key to the TABLE's key type before hashing:
+        # xxhash64(int) != xxhash64(long) for the same value, so a batch
+        # whose key dtype differs from the manifest schema would probe the
+        # wrong buckets and silently fold against an "absent" base row
+        # (same hazard ParquetLakeTable.lookup guards against).
+        user = T.StructType.fromJson(json.loads(m["schema"]))
+        key_type = next(
+            f.dataType for f in user.fields if f.name == key_cols[0]
+        )
         bids = [
             r["b"]
             for r in patch_keys.select(
-                F.pmod(F.xxhash64(key_cols[0]), F.lit(m["n_buckets"]))
+                F.pmod(
+                    F.xxhash64(F.col(key_cols[0]).cast(key_type)),
+                    F.lit(m["n_buckets"]),
+                )
                 .cast("int")
                 .alias("b")
             )

@@ -1275,9 +1275,13 @@ def orders_open_range_join(spark, sf_dir):
 
 ORDERS_RANGE_JOIN_SQL = """
 WITH cal AS (
-  SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
-                                TIMESTAMP '2001-12-01',
-                                INTERVAL 1 MONTH)) AS month_start),
+  -- calendar bounds derived from the data (not a pinned window), so the
+  -- gate cannot silently diverge from the Spark side if the fixture's
+  -- date range ever changes; the JOIN filter makes over-coverage harmless
+  SELECT unnest(generate_series(
+      date_trunc('month', (SELECT min(o_orderdate) FROM orders)),
+      date_trunc('month', (SELECT max(o_orderdate) + to_days(59) FROM orders)),
+      INTERVAL 1 MONTH)) AS month_start),
 iv AS (
   SELECT o_orderdate AS s,
          o_orderdate + to_days(CAST(7 + o_orderkey % 53 AS INT)) AS e

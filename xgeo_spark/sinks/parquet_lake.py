@@ -208,10 +208,12 @@ class ParquetLakeTable(LakeTable):
                         "rows": md.num_rows,
                         "lsn_min": None, "lsn_max": None,
                         "ts_min": None, "ts_max": None,
+                        "seq_min": None, "seq_max": None,
                     }
                     for col, lo_k, hi_k, conv in (
                         ("_lsn", "lsn_min", "lsn_max", int),
                         ("ts", "ts_min", "ts_max", self._ts_us),
+                        ("_seq", "seq_min", "seq_max", int),
                     ):
                         if col not in idx:
                             continue
@@ -509,6 +511,16 @@ class ParquetLakeTable(LakeTable):
           propagated delete). Postimage correctness beats read volume
           here: the extra read is the touched buckets' base, O(touched
           buckets), still never two table scans;
+        - footer stats prune both legs: diffed files wholly outside the
+          ``_seq`` range are skipped (this is what keeps a range spanning a
+          COMPACTION cheap — the compaction re-references every compacted
+          bucket's base under new file names, but files holding only
+          pre-``v_from`` rows are dropped here instead of rescanned), and
+          candidate base files whose ``_lsn`` ceiling is below every
+          touched key's in-range lsn cannot contain any LWW winner and are
+          skipped too. A compacted file MIXING old and in-range rows is
+          still read in full (its stats span the range) — that residual
+          cost is inherent to folding deltas into base files;
         - multiple in-range writes to one key collapse to the last writer
           (same ``(_lsn, _seq)`` total order as ``read()``). An in-range
           update that restores a key's prior value still emits an upsert
@@ -538,12 +550,25 @@ class ParquetLakeTable(LakeTable):
             for fl in coll.values()
             for f in fl
         }
+        stats: dict = m_to.get("file_stats") or {}
+
+        def _seq_in_range(f: str) -> bool:
+            # keep the file unless its footer _seq range proves every row
+            # is outside (v_from, v_to] — absent stats never prune
+            s = stats.get(f) or {}
+            lo, hi = s.get("seq_min"), s.get("seq_max")
+            if hi is not None and hi <= v_from:
+                return False
+            if lo is not None and lo > v_to:
+                return False
+            return True
+
         added = [
             f
             for coll in (m_to["buckets"], m_to.get("deltas") or {})
             for fl in coll.values()
             for f in fl
-            if f not in old_files
+            if f not in old_files and _seq_in_range(f)
         ]
         user_cols = [f.name for f in schema.fields if f.name not in
                      ("_lsn", "_seq", "_deleted")]
@@ -570,6 +595,28 @@ class ParquetLakeTable(LakeTable):
                         m_to["buckets"].get(b, [])
                         + (m_to.get("deltas") or {}).get(b, [])
                     )
+        # lsn-threshold prune of the candidate set. Every touched key has
+        # an in-range row, so its LWW winner's _lsn is >= that row's _lsn;
+        # a file whose footer lsn ceiling sits below the SMALLEST such
+        # per-key lsn holds only strictly-losing rows for every touched
+        # key and cannot change any winner. One bounded aggregate over the
+        # (already pruned) diff set buys skipping cold base files — the
+        # bulk of a compacted bucket's re-referenced data.
+        thr_row = (
+            changed.groupBy(*key_cols)
+            .agg(F.max("_lsn").alias("_ml"))
+            .agg(F.min("_ml").alias("_thr"))
+            .collect()
+        )
+        thr = thr_row[0]["_thr"] if thr_row else None
+        if thr is not None:
+            bucket_files = [
+                f
+                for f in bucket_files
+                if (stats.get(f) or {}).get("lsn_max") is None
+                or stats[f]["lsn_max"] >= thr
+                or f in added_set
+            ]
         cand = self._read_files(
             sorted(set(bucket_files)), schema
         ).join(touched_keys, key_cols, "left_semi")

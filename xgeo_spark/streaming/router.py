@@ -14,7 +14,10 @@ Exactly-once under fan-out: each target table stamps the SAME batch_id in
 its own manifest. A crash mid-fan-out replays the batch; tables that
 already committed skip it (``MergeStats.skipped``), the rest apply — the
 per-table idempotency check IS the fan-out recovery protocol, no
-two-phase coordination needed.
+two-phase coordination needed. Dead letters participate too: unrouted
+rows land in a ``batch_id=N`` subdir with overwrite semantics, so a
+replayed batch rewrites (not re-appends) its own dead letters; only a
+caller passing ``batch_id=None`` falls back to at-least-once appends.
 
 Scale notes: the batch is persisted before the fan-out so N merges read
 one materialized micro-batch instead of re-scanning the feed N times
@@ -90,7 +93,21 @@ class MultiTableRouter:
             )
             n_unrouted = unrouted.count()
             if n_unrouted and self.unrouted_dir is not None:
-                unrouted.write.mode("append").json(self.unrouted_dir)
+                import os
+
+                # idempotent under crash-and-replay: the dead letters land
+                # in a batch_id-keyed subdir with overwrite semantics, so a
+                # replayed batch REWRITES its own dead letters instead of
+                # appending duplicates (the per-table merges already skip
+                # via batch_id; this makes the fan-out's third output leg
+                # obey the same recovery protocol).
+                dst = (
+                    os.path.join(self.unrouted_dir, f"batch_id={batch_id}")
+                    if batch_id is not None
+                    else self.unrouted_dir
+                )
+                mode = "overwrite" if batch_id is not None else "append"
+                unrouted.write.mode(mode).json(dst)
             out["unrouted"] = n_unrouted
             return out
         finally:
