@@ -124,6 +124,83 @@ def test_olc_decode_garbage(spark):
         assert r["d"]["lat"] is None and r["d"]["lon"] is None
 
 
+def _olc_spec_encode(lat: float, lon: float, n: int) -> str:
+    """Independent pure-int restatement of the public OLC spec (pair digits
+    base-20, grid digits row*4+col on a 5x4 grid) — the differential oracle
+    for olc_encode."""
+    alpha = "23456789CFGHJMPQRVWX"
+    lat = min(max(lat, -90.0), 90.0)
+    lon = ((lon + 180.0) % 360.0) - 180.0
+    import math
+
+    la = min(int(math.floor((lat + 90.0) * 8000 * 5**5)), 180 * 8000 * 5**5 - 1)
+    lo = min(int(math.floor((lon + 180.0) * 8000 * 4**5)), 360 * 8000 * 4**5 - 1)
+    grid = ""
+    for _ in range(5):
+        grid = alpha[(la % 5) * 4 + (lo % 4)] + grid
+        la //= 5
+        lo //= 4
+    pairs = ""
+    for i in range(5):
+        shift = 20 ** (4 - i)
+        pairs += alpha[(la // shift) % 20] + alpha[(lo // shift) % 20]
+    full = pairs[:8] + "+" + pairs[8:] + grid
+    return full[: n + 1]
+
+
+def test_olc_grid_refinement_differential(spark):
+    """olc_encode at 10-15 digits vs an independent spec restatement, over
+    coordinates spanning hemispheres, the antimeridian wrap, and the
+    lat-clamp edge."""
+    from xgeo_spark.functions.geo import olc_encode
+
+    import random
+
+    rng = random.Random(7)
+    pts = [(rng.uniform(-90, 90), rng.uniform(-180, 180)) for _ in range(40)]
+    pts += [(90.0, 0.0), (-90.0, 0.0), (0.0, 179.99999), (0.0, -180.0),
+            (47.365590, 8.524997), (20.3701125, 2.782234375)]
+    rows = [(la, lo, n) for la, lo in pts for n in range(10, 16)]
+    df = spark.createDataFrame(rows, ["lat", "lon", "n"])
+    got = df.select(
+        "lat", "lon", "n",
+        olc_encode(F.col("lat"), F.col("lon"), F.col("n")).alias("code"),
+    ).collect()
+    for r in got:
+        assert r["code"] == _olc_spec_encode(r["lat"], r["lon"], r["n"]), (
+            r["lat"], r["lon"], r["n"])
+
+
+def test_olc_grid_encode_properties(spark):
+    """Length-10 output equals olc_encode10; longer codes extend shorter
+    ones (prefix property); decode center lands within half the final
+    cell at every length."""
+    from xgeo_spark.functions.geo import olc_encode
+
+    pts = [(47.365590, 8.524997), (-33.8688, 151.2093), (0.0, 0.0),
+           (89.9999, 179.9999), (-0.000001, -0.000001)]
+    df = spark.createDataFrame(pts, ["lat", "lon"])
+    cols = {f"c{n}": olc_encode(F.col("lat"), F.col("lon"), F.lit(n))
+            for n in range(10, 16)}
+    out = df.select("lat", "lon", olc_encode10("lat", "lon").alias("c"),
+                    *[v.alias(k) for k, v in cols.items()]).collect()
+    for r in out:
+        assert r["c10"] == r["c"]
+        for n in range(10, 15):
+            assert r[f"c{n+1}"].startswith(r[f"c{n}"])
+    dec = df.select(
+        "lat", "lon",
+        olc_decode_center(
+            olc_encode(F.col("lat"), F.col("lon"), F.lit(12))
+        ).alias("d"),
+    ).collect()
+    for r in dec:
+        # 12-digit cell: lat 1/(8000*25), lon 1/(8000*16) degrees
+        assert r["d"]["lat"] == pytest.approx(
+            min(max(r["lat"], -90.0), 90.0), abs=0.51 / (8000 * 25))
+        assert r["d"]["lon"] == pytest.approx(r["lon"], abs=0.51 / (8000 * 16))
+
+
 # ---- round-2 parity additions (VERDICT item 7) ------------------------------
 
 from xgeo_spark.functions.geo import (  # noqa: E402
@@ -304,3 +381,137 @@ def test_simplify_dp(spark):
     # short lines pass through
     short = _pts(spark, [(0.0, 0.0), (1.0, 1.0)]).withColumn("tol", F.lit(10.0))
     assert len(short.select(simplify_dp(F.col("points"), F.col("tol")).alias("s")).first()["s"]) == 2
+
+
+# ---- round-3 parity additions (planar + projections, SURVEY §2.2-6) ---------
+
+from xgeo_spark.functions.geo import (  # noqa: E402
+    mercator_scale_factor,
+    planar_distance_from,
+    polygon_contains,
+    ring_contains,
+    webmercator_inv_lat,
+    webmercator_inv_lon,
+    webmercator_x,
+    webmercator_y,
+)
+
+# a non-convex (concave "C" shape), CLOSED ring
+_CONCAVE = [(0.0, 0.0), (4.0, 0.0), (4.0, 1.0), (1.0, 1.0), (1.0, 3.0),
+            (4.0, 3.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
+
+
+def _probe(spark, ring, pts):
+    schema = T.StructType([
+        T.StructField("ring", T.ArrayType(T.StructType([
+            T.StructField("lon", T.DoubleType()),
+            T.StructField("lat", T.DoubleType())]))),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+    ])
+    ring_v = [{"lon": x, "lat": y} for x, y in ring]
+    return spark.createDataFrame([(ring_v, x, y) for x, y in pts], schema)
+
+
+def test_ring_contains_concave(spark):
+    inside = [(0.5, 0.5), (0.5, 3.5), (0.5, 2.0), (3.9, 0.5), (3.9, 3.5)]
+    outside = [(2.0, 2.0),      # inside the concavity, outside the ring
+               (-1.0, 2.0), (5.0, 2.0), (2.0, -1.0), (2.0, 5.0)]
+    df = _probe(spark, _CONCAVE, inside + outside)
+    got = df.select(
+        "lon", "lat",
+        ring_contains(F.col("ring"), F.col("lon"), F.col("lat")).alias("c"),
+    ).collect()
+    exp = dict([((x, y), True) for x, y in inside]
+               + [((x, y), False) for x, y in outside])
+    for r in got:
+        assert r["c"] == exp[(r["lon"], r["lat"])], (r["lon"], r["lat"])
+
+
+def test_ring_contains_vertex_aligned_ray(spark):
+    """The ray passing exactly through a vertex must not double-count: a
+    square with a vertex at the probe's latitude."""
+    diamond = [(2.0, 0.0), (4.0, 2.0), (2.0, 4.0), (0.0, 2.0), (2.0, 0.0)]
+    pts_in = [(2.0, 2.0), (1.0, 2.0), (3.0, 2.0)]   # lat == two vertices' lat
+    pts_out = [(-1.0, 2.0), (4.5, 2.0)]
+    df = _probe(spark, diamond, pts_in + pts_out)
+    got = {(r["lon"], r["lat"]): r["c"] for r in df.select(
+        "lon", "lat",
+        ring_contains(F.col("ring"), F.col("lon"), F.col("lat")).alias("c"),
+    ).collect()}
+    for p in pts_in:
+        assert got[p] is True, p
+    for p in pts_out:
+        assert got[p] is False, p
+
+
+def test_polygon_contains_with_hole(spark):
+    outer = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)]
+    hole = [(4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0), (4.0, 4.0)]
+    schema = T.StructType([
+        T.StructField("rings", T.ArrayType(T.ArrayType(T.StructType([
+            T.StructField("lon", T.DoubleType()),
+            T.StructField("lat", T.DoubleType())])))),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+    ])
+    rings = [[{"lon": x, "lat": y} for x, y in r] for r in (outer, hole)]
+    cases = [((2.0, 2.0), True), ((5.0, 5.0), False),   # in hole -> out
+             ((11.0, 5.0), False), ((7.0, 5.0), True)]
+    df = spark.createDataFrame([(rings, x, y) for (x, y), _ in cases], schema)
+    got = {(r["lon"], r["lat"]): r["c"] for r in df.select(
+        "lon", "lat",
+        polygon_contains(F.col("rings"), F.col("lon"), F.col("lat")).alias("c"),
+    ).collect()}
+    for (x, y), exp in cases:
+        assert got[(x, y)] == exp, (x, y)
+
+
+def test_planar_distance_from(spark):
+    line = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0)]
+    cases = [((5.0, 3.0), 3.0),      # perpendicular onto first segment
+             ((13.0, 14.0), 5.0),    # beyond the last vertex: 3-4-5
+             ((-3.0, -4.0), 5.0),    # before the first vertex
+             ((10.0, 5.0), 0.0)]     # on the second segment
+    df = _probe(spark, line, [p for p, _ in cases])
+    got = {(r["lon"], r["lat"]): r["d"] for r in df.select(
+        "lon", "lat",
+        planar_distance_from(F.col("ring"), F.col("lon"), F.col("lat")).alias("d"),
+    ).collect()}
+    for p, exp in cases:
+        assert got[p] == pytest.approx(exp, abs=1e-12), p
+    # single vertex degrades to point distance; empty -> null
+    one = _probe(spark, [(1.0, 1.0)], [(4.0, 5.0)])
+    assert one.select(planar_distance_from(
+        F.col("ring"), F.col("lon"), F.col("lat")).alias("d")
+    ).first()["d"] == pytest.approx(5.0)
+    empty = _probe(spark, [], [(0.0, 0.0)])
+    assert empty.select(planar_distance_from(
+        F.col("ring"), F.col("lon"), F.col("lat")).alias("d")
+    ).first()["d"] is None
+
+
+def test_webmercator_roundtrip_and_known_values(spark):
+    import math as m
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (8.524997, 47.36559), (151.2093, -33.8688),
+         (-180.0, 85.051128779), (179.9, -85.051128779)],
+        ["lon", "lat"])
+    out = df.select(
+        "lon", "lat",
+        webmercator_x(F.col("lon")).alias("x"),
+        webmercator_y(F.col("lat")).alias("y"),
+    ).withColumn("lon2", webmercator_inv_lon(F.col("x"))) \
+     .withColumn("lat2", webmercator_inv_lat(F.col("y"))).collect()
+    R = 6_378_137.0
+    for r in out:
+        assert r["x"] == pytest.approx(R * m.pi / 180.0 * r["lon"], rel=1e-12)
+        exp_y = max(-R * m.pi, min(
+            m.log(m.tan((90.0 + r["lat"]) * m.pi / 360.0)) * R, R * m.pi))
+        assert r["y"] == pytest.approx(exp_y, rel=1e-9)
+        assert r["lon2"] == pytest.approx(r["lon"], abs=1e-9)
+        assert r["lat2"] == pytest.approx(r["lat"], abs=1e-9)
+    # scale factor: 2 at 60 deg
+    sf = spark.createDataFrame([(60.0,)], ["lat"]).select(
+        mercator_scale_factor(F.col("lat")).alias("s")).first()["s"]
+    assert sf == pytest.approx(2.0, rel=1e-12)

@@ -24,6 +24,8 @@ Duquette spherical polygon area; OLC open spec).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column
@@ -275,26 +277,81 @@ def olc_encode10(lat: pd.Series, lon: pd.Series) -> pd.Series:
     return pd.Series([bytes(row).decode("ascii") for row in out])
 
 
+# Grid refinement (public OLC spec, digits 11-15): each digit past the
+# 10th splits the cell into a 5-row (lat) x 4-col (lon) grid, value =
+# row*4 + col, row 0 at the south edge, col 0 at the west edge. Integer
+# units at full 15-digit resolution:
+_OLC_LAT_MULT = 8000 * 5**5   # 25,000,000 per degree
+_OLC_LON_MULT = 8000 * 4**5   #  8,192,000 per degree
+
+
+@pandas_udf(T.StringType())
+def olc_encode(lat: pd.Series, lon: pd.Series, length: pd.Series) -> pd.Series:
+    """Open Location Code encode at 10-15 digits (grid-refinement parity
+    with the vendored reference, open-location-code/go/olc.go encode.go:55;
+    algorithm restated from the public spec, not ported). Coordinates go
+    to integer units of the 15-digit resolution; the five grid digits are
+    peeled least-significant-first (base 5 lat / base 4 lon), leaving the
+    pair digits in 1/8000-degree units exactly as ``olc_encode10``."""
+    la = np.clip(lat.to_numpy(dtype=np.float64), -90.0, 90.0)
+    lo = lon.to_numpy(dtype=np.float64)
+    lo = ((lo + 180.0) % 360.0) - 180.0
+    n = np.clip(length.to_numpy(dtype=np.int64), 10, 15)
+    la_u = np.floor((la + 90.0) * _OLC_LAT_MULT).astype(np.int64)
+    lo_u = np.floor((lo + 180.0) * _OLC_LON_MULT).astype(np.int64)
+    la_u = np.minimum(la_u, 180 * _OLC_LAT_MULT - 1)
+    lo_u = np.minimum(lo_u, 360 * _OLC_LON_MULT - 1)
+
+    out = np.empty((len(la), 16), dtype=np.uint8)
+    out[:, 8] = ord("+")
+    for k in range(5):  # grid digits, least significant first
+        out[:, 15 - k] = _OLC_ALPHABET[(la_u % 5) * 4 + (lo_u % 4)]
+        la_u //= 5
+        lo_u //= 4
+    char_cols = [(0, 1), (2, 3), (4, 5), (6, 7), (9, 10)]
+    for i, (c_lat, c_lon) in enumerate(char_cols):
+        shift = 20 ** (4 - i)
+        out[:, c_lat] = _OLC_ALPHABET[(la_u // shift) % 20]
+        out[:, c_lon] = _OLC_ALPHABET[(lo_u // shift) % 20]
+    return pd.Series(
+        [bytes(row[: ln + 1]).decode("ascii") for row, ln in zip(out, n)]
+    )
+
+
+def _olc_center_digits(digits: list[str], idx: dict) -> tuple[float, float]:
+    """Cell center for 10-15 validated OLC digits (pair + grid sections)."""
+    la_u = lo_u = 0
+    for d_lat, d_lon in zip(digits[0:10:2], digits[1:10:2]):
+        la_u = la_u * 20 + idx[d_lat]
+        lo_u = lo_u * 20 + idx[d_lon]
+    lat_lo = la_u / 8000.0 - 90.0
+    lon_lo = lo_u / 8000.0 - 180.0
+    lat_res = lon_res = 1.0 / 8000.0
+    for d in digits[10:]:
+        v = idx[d]
+        lat_res /= 5.0
+        lon_res /= 4.0
+        lat_lo += (v // 4) * lat_res
+        lon_lo += (v % 4) * lon_res
+    return (lat_lo + lat_res / 2.0, lon_lo + lon_res / 2.0)
+
+
 @pandas_udf(
     T.StructType(
         [T.StructField("lat", T.DoubleType()), T.StructField("lon", T.DoubleType())]
     )
 )
 def olc_decode_center(codes: pd.Series) -> pd.DataFrame:
-    """Decode a 10-digit plus code to its cell-center (lat, lon)."""
+    """Decode a 10-15 digit plus code to its cell-center (lat, lon)."""
     idx = {c: i for i, c in enumerate("23456789CFGHJMPQRVWX")}
 
     def _dec(code):
         if not isinstance(code, str):
             return (None, None)
         digits = [ch for ch in code.upper() if ch != "+"]
-        if len(digits) != 10 or any(d not in idx for d in digits):
+        if not (10 <= len(digits) <= 15) or any(d not in idx for d in digits):
             return (None, None)
-        la_u = lo_u = 0
-        for d_lat, d_lon in zip(digits[0::2], digits[1::2]):
-            la_u = la_u * 20 + idx[d_lat]
-            lo_u = lo_u * 20 + idx[d_lon]
-        return (la_u / 8000.0 - 90.0 + 1 / 16000.0, lo_u / 8000.0 - 180.0 + 1 / 16000.0)
+        return _olc_center_digits(digits, idx)
 
     decoded = codes.map(_dec)
     return pd.DataFrame(
@@ -324,13 +381,9 @@ def _olc_encode_one(lat: float, lon: float) -> str:
 
 def _olc_center_one(code: str) -> tuple[float, float] | None:
     digits = [ch for ch in code.upper() if ch != "+"]
-    if len(digits) != 10 or any(d not in _OLC_IDX for d in digits):
+    if not (10 <= len(digits) <= 15) or any(d not in _OLC_IDX for d in digits):
         return None
-    la_u = lo_u = 0
-    for d_lat, d_lon in zip(digits[0::2], digits[1::2]):
-        la_u = la_u * 20 + _OLC_IDX[d_lat]
-        lo_u = lo_u * 20 + _OLC_IDX[d_lon]
-    return (la_u / 8000.0 - 90.0 + 1 / 16000.0, lo_u / 8000.0 - 180.0 + 1 / 16000.0)
+    return _olc_center_digits(digits, _OLC_IDX)
 
 
 @pandas_udf(T.StringType())
@@ -469,4 +522,132 @@ def simplify_dp(points: pd.Series, tolerance: pd.Series) -> pd.Series:
 
     return pd.Series(
         [_simp(p, t) for p, t in zip(points, tolerance)], dtype=object
+    )
+
+
+# --- planar ops + projections (orb/planar, orb/project parity) ---------------
+#
+# Reference surface: orb/planar/contains.go (RingContains/PolygonContains,
+# ray-cast), orb/planar/distance_from.go (min point-to-segment distance),
+# orb/project/projections.go (WGS84 <-> spherical web-Mercator). All four are
+# reimplemented as PURE COLUMN EXPRESSIONS over array<struct<lon,lat>> —
+# higher-order builtins (aggregate/transform/array_min), zero Python in the
+# hot path, whole-stage-codegen'd — rather than porting the Go loops. The
+# ray-cast here is the even-odd crossing rule (PNPOLY, public knowledge);
+# boundary points are UNSPECIFIED (either side) instead of orb's
+# boundary-inclusive refinement — callers needing closed-set semantics
+# should buffer, which is also what orb users do for epsilon-robustness.
+
+_EARTH_RADIUS_M = 6_378_137.0  # spherical web-Mercator radius (WGS84 a)
+_MERC_MAX = _EARTH_RADIUS_M * math.pi
+
+
+def webmercator_x(lon) -> Column:
+    """WGS84 lon (deg) -> spherical-Mercator x (m). orb/project
+    projections.go WGS84.ToMercator parity, column expression."""
+    return F.lit(_MERC_MAX / 180.0) * lon
+
+
+def webmercator_y(lat) -> Column:
+    """WGS84 lat (deg) -> spherical-Mercator y (m), clamped to the square
+    world bound exactly as the reference clamps."""
+    y = F.log(F.tan((F.lit(90.0) + lat) * F.lit(math.pi / 360.0))) * F.lit(
+        _EARTH_RADIUS_M
+    )
+    return F.greatest(F.lit(-_MERC_MAX), F.least(y, F.lit(_MERC_MAX)))
+
+
+def webmercator_inv_lon(x) -> Column:
+    """Spherical-Mercator x (m) -> WGS84 lon (deg)."""
+    return F.lit(180.0 / _MERC_MAX) * x
+
+
+def webmercator_inv_lat(y) -> Column:
+    """Spherical-Mercator y (m) -> WGS84 lat (deg)."""
+    return F.lit(180.0 / math.pi) * (
+        F.atan(F.exp(y / F.lit(_EARTH_RADIUS_M))) * F.lit(2.0)
+        - F.lit(math.pi / 2.0)
+    )
+
+
+def mercator_scale_factor(lat) -> Column:
+    """Mercator scale distortion at a latitude: 1/cos(lat)."""
+    return F.lit(1.0) / F.cos(F.radians(lat))
+
+
+def ring_contains(ring: Column, lon, lat) -> Column:
+    """Even-odd ray-cast point-in-ring over array<struct<lon,lat>>
+    (orb/planar/contains.go RingContains semantics for interior points).
+    The ring must be closed (first == last vertex, the GeoJSON contract).
+    One aggregate over the edge list; a horizontal edge contributes no
+    crossing (the guard comparison is false and the div-by-zero NaN is
+    absorbed by the AND)."""
+    n = F.size(ring)
+    edges = F.sequence(F.lit(1), n - F.lit(1))  # 1-based edge i: v[i]->v[i+1]
+
+    def _cross(acc, i):
+        p1 = F.element_at(ring, i)
+        p2 = F.element_at(ring, i + F.lit(1))
+        yi, yj = p1["lat"], p2["lat"]
+        xi, xj = p1["lon"], p2["lon"]
+        crosses = ((yi > lat) != (yj > lat)) & (
+            lon < (xj - xi) * (lat - yi) / (yj - yi) + xi
+        )
+        return acc != crosses  # boolean XOR: odd crossing count = inside
+
+    return F.when(n >= 4, F.aggregate(edges, F.lit(False), _cross)).otherwise(
+        F.lit(False)
+    )
+
+
+def polygon_contains(rings: Column, lon, lat) -> Column:
+    """Point-in-polygon with holes over array<array<struct<lon,lat>>>:
+    inside the outer ring (element 1) and inside no hole ring
+    (orb/planar/contains.go PolygonContains)."""
+    outer = ring_contains(F.element_at(rings, 1), lon, lat)
+    holes = F.exists(
+        F.slice(rings, 2, F.greatest(F.size(rings) - 1, F.lit(0))),
+        lambda r: ring_contains(r, lon, lat),
+    )
+    return outer & ~holes
+
+
+def _segment_d2(p1, p2, lon, lat) -> Column:
+    """Squared planar distance from (lon,lat) to segment p1->p2 in
+    coordinate units (orb/planar/distance_from.go segment math restated
+    with a clamped projection parameter)."""
+    dx = p2["lon"] - p1["lon"]
+    dy = p2["lat"] - p1["lat"]
+    denom = dx * dx + dy * dy
+    t_raw = ((lon - p1["lon"]) * dx + (lat - p1["lat"]) * dy) / denom
+    t = F.greatest(F.lit(0.0), F.least(t_raw, F.lit(1.0)))
+    cx = F.when(denom == 0.0, p1["lon"]).otherwise(p1["lon"] + dx * t)
+    cy = F.when(denom == 0.0, p1["lat"]).otherwise(p1["lat"] + dy * t)
+    return (lon - cx) * (lon - cx) + (lat - cy) * (lat - cy)
+
+
+def planar_distance_from(points: Column, lon, lat) -> Column:
+    """Min euclidean distance (coordinate units) from a point to a
+    linestring/ring given as array<struct<lon,lat>> — the public surface of
+    the segment-distance kernel the Douglas-Peucker simplifier uses
+    internally (orb/planar/distance_from.go DistanceFrom). Column
+    expression: transform over edges + array_min; single-vertex input
+    degrades to point distance; empty/null input -> null."""
+    n = F.size(points)
+    edges = F.sequence(F.lit(1), n - F.lit(1))
+    d2s = F.transform(
+        edges,
+        lambda i: _segment_d2(
+            F.element_at(points, i), F.element_at(points, i + F.lit(1)), lon, lat
+        ),
+    )
+    p0 = F.element_at(points, 1)
+    single = F.sqrt(
+        (lon - p0["lon"]) * (lon - p0["lon"])
+        + (lat - p0["lat"]) * (lat - p0["lat"])
+    )
+    return (
+        F.when(n >= 2, F.sqrt(F.array_min(d2s)))
+        .when(n == 1, single)
+        .otherwise(F.lit(None).cast("double"))
     )

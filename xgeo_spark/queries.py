@@ -931,7 +931,7 @@ def geo_olc_codes(spark, sf_dir):
     code in pure SQL (base-20 digit arithmetic per the public OLC spec) —
     exact because the synthetic lat/lon are multiples of 1/8000 deg plus
     an exactly-representable offset, so FLOOR sees integral doubles."""
-    from xgeo_spark.functions.geo import olc_encode10
+    from xgeo_spark.functions.geo import olc_encode, olc_encode10
 
     ev = _t(spark, sf_dir, "events")
     lat = (F.col("user_id") % 170 - 85).cast("double") + F.lit(0.5)
@@ -940,6 +940,9 @@ def geo_olc_codes(spark, sf_dir):
         ev.select("user_id", lat.alias("lat"), lon.alias("lon"))
         .distinct()
         .withColumn("plus_code", olc_encode10(F.col("lat"), F.col("lon")))
+        .withColumn(
+            "plus_code11", olc_encode(F.col("lat"), F.col("lon"), F.lit(11))
+        )
         .orderBy("user_id")
     )
 
@@ -971,10 +974,123 @@ WITH u AS (
 c AS (
   SELECT user_id, lat, lon,
          CAST(FLOOR((lat + 90.0) * 8000.0) AS BIGINT) AS la_u,
-         CAST(FLOOR((lon + 180.0) * 8000.0) AS BIGINT) AS lo_u
+         CAST(FLOOR((lon + 180.0) * 8000.0) AS BIGINT) AS lo_u,
+         -- full 15-digit-resolution units for the grid-refinement digit:
+         -- lat 1/(8000*5^5), lon 1/(8000*4^5) of a degree (public spec)
+         CAST(FLOOR((lat + 90.0) * 25000000.0) AS BIGINT) AS la15,
+         CAST(FLOOR((lon + 180.0) * 8192000.0) AS BIGINT) AS lo15
   FROM u)
-SELECT user_id, lat, lon, {_olc_sql_code()} AS plus_code
+SELECT user_id, lat, lon, {_olc_sql_code()} AS plus_code,
+       {_olc_sql_code()} ||
+       substr('23456789CFGHJMPQRVWX',
+              CAST(((la15 // 625) % 5) * 4 + ((lo15 // 256) % 4) AS INT) + 1,
+              1) AS plus_code11
 FROM c ORDER BY user_id
+"""
+
+
+# Fixed test geometries for geo_planar_ops: a concave "C" ring (exercises
+# the even-odd ray-cast on a non-convex shape) and a 3-vertex polyline.
+# Vertices sit at .3/.7 offsets while the synthetic points sit at .5/.25,
+# so no probe ever lands on an edge or vertex-aligned ray (the boundary
+# cases where even-odd semantics are unspecified).
+_PLANAR_RING = [
+    (-100.3, -50.3), (60.7, -50.3), (60.7, 10.7), (-20.3, 10.7),
+    (-20.3, 40.7), (60.7, 40.7), (60.7, 70.7), (-100.3, 70.7),
+    (-100.3, -50.3),
+]
+_PLANAR_LINE = [(-150.3, -60.3), (0.7, 0.7), (150.3, 60.3)]
+
+
+def geo_planar_ops(spark, sf_dir):
+    """Planar ops + projections parity (SURVEY.md §2.2-6 closure: ref
+    orb/planar/contains.go ray-cast, orb/planar/distance_from.go segment
+    distance, orb/project/projections.go WGS84->Mercator) as pure column
+    expressions over per-user synthetic coordinates. in_poly and dist are
+    exact IEEE arithmetic (identical cross-engine); merc_y goes through
+    libm log/tan, so it is rounded to mm like the other libm columns."""
+    from xgeo_spark.functions.geo import (
+        planar_distance_from,
+        ring_contains,
+        webmercator_x,
+        webmercator_y,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    lat = (F.col("user_id") % 170 - 85).cast("double") + F.lit(0.5)
+    lon = (F.col("user_id") % 360 - 180).cast("double") + F.lit(0.25)
+    ring = F.array(
+        *[
+            F.struct(F.lit(x).alias("lon"), F.lit(y).alias("lat"))
+            for x, y in _PLANAR_RING
+        ]
+    )
+    line = F.array(
+        *[
+            F.struct(F.lit(x).alias("lon"), F.lit(y).alias("lat"))
+            for x, y in _PLANAR_LINE
+        ]
+    )
+    return (
+        ev.select("user_id", lat.alias("lat"), lon.alias("lon"))
+        .distinct()
+        .select(
+            "user_id",
+            "lat",
+            "lon",
+            ring_contains(ring, F.col("lon"), F.col("lat")).alias("in_poly"),
+            F.round(
+                planar_distance_from(line, F.col("lon"), F.col("lat")), 6
+            ).alias("dist_deg"),
+            webmercator_x(F.col("lon")).alias("merc_x"),
+            F.round(webmercator_y(F.col("lat")), 3).alias("merc_y_q"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _planar_sql() -> tuple[str, str]:
+    """DuckDB restatements of the ray-cast (crossing-count parity over the
+    fixed ring's edges) and the min point-to-segment distance (explicit
+    per-segment clamp arithmetic, LEAST over segments)."""
+    crossings = []
+    r = _PLANAR_RING
+    for (xi, yi), (xj, yj) in zip(r, r[1:]):
+        crossings.append(
+            f"(CASE WHEN (({yi} > lat) <> ({yj} > lat)) AND "
+            f"(lon < ({xj} - {xi}) * (lat - {yi}) / ({yj} - {yi}) + {xi}) "
+            "THEN 1 ELSE 0 END)"
+        )
+    in_poly = "((" + " + ".join(crossings) + ") % 2 = 1)"
+    seg_d2 = []
+    for (x1, y1), (x2, y2) in zip(_PLANAR_LINE, _PLANAR_LINE[1:]):
+        dx, dy = x2 - x1, y2 - y1
+        denom = dx * dx + dy * dy
+        t = f"GREATEST(0.0, LEAST(((lon - {x1}) * {dx} + (lat - {y1}) * {dy}) / {denom}, 1.0))"
+        seg_d2.append(
+            f"((lon - ({x1} + {dx} * {t})) * (lon - ({x1} + {dx} * {t})) + "
+            f"(lat - ({y1} + {dy} * {t})) * (lat - ({y1} + {dy} * {t})))"
+        )
+    dist = f"ROUND(SQRT(LEAST({', '.join(seg_d2)})), 6)"
+    return in_poly, dist
+
+
+_IN_POLY_SQL, _DIST_SQL = _planar_sql()
+
+GEO_PLANAR_SQL = f"""
+WITH u AS (
+  SELECT DISTINCT user_id,
+         CAST(user_id % 170 - 85 AS DOUBLE) + 0.5 AS lat,
+         CAST(user_id % 360 - 180 AS DOUBLE) + 0.25 AS lon
+  FROM events)
+SELECT user_id, lat, lon,
+       {_IN_POLY_SQL} AS in_poly,
+       {_DIST_SQL} AS dist_deg,
+       lon * (6378137.0 * PI() / 180.0) AS merc_x,
+       ROUND(GREATEST(-6378137.0 * PI(),
+                      LEAST(LN(TAN((90.0 + lat) * PI() / 360.0)) * 6378137.0,
+                            6378137.0 * PI())), 3) AS merc_y_q
+FROM u ORDER BY user_id
 """
 
 
@@ -1650,6 +1766,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "emb_ann_lsh": (emb_ann_lsh, _GOLDEN.get("emb_ann_lsh")),
     "geo_event_distance": (geo_event_distance, GEO_DIST_SQL),
     "geo_olc_codes": (geo_olc_codes, GEO_OLC_SQL),
+    "geo_planar_ops": (geo_planar_ops, GEO_PLANAR_SQL),
     "geo_user_bounds": (geo_user_bounds, GEO_BOUNDS_SQL),
     "multimodal_decode": (multimodal_decode, _GOLDEN.get("multimodal_decode")),
     "cdc_replay_small": (cdc_replay_small, None),
