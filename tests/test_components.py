@@ -96,3 +96,35 @@ def test_dup_clusters_representative_and_size(spark):
         (3, 3, 3), (3, 7, 3), (3, 9, 3),
         (100, 100, 2), (100, 101, 2),
     }
+
+
+def test_reliable_checkpoint_long_chain(spark, tmp_path):
+    """The cluster path (checkpoint_dir set): reliable checkpoint() per
+    round instead of localCheckpoint — verified on a diameter-24 chain
+    plus a second component, and by checkpoint files actually landing in
+    the directory (executor-loss safety is storage-backed lineage)."""
+    import os
+
+    ckpt = str(tmp_path / "ckpt")
+    edges = [(i, i + 1) for i in range(24)] + [(100, 101), (101, 102)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    comp = connected_components(df, checkpoint_dir=ckpt)
+    got = {r["node"]: r["component"] for r in comp.collect()}
+    assert {got[i] for i in range(25)} == {0}
+    assert got[100] == got[101] == got[102] == 100
+    assert len(got) == 28
+    found = [f for _, _, fs in os.walk(ckpt) for f in fs]
+    assert found, "no reliable checkpoint files written"
+
+
+def test_env_var_selects_reliable_checkpoints(spark, tmp_path, monkeypatch):
+    import os
+
+    ckpt = str(tmp_path / "ckpt_env")
+    monkeypatch.setenv("XGEO_CHECKPOINT_DIR", ckpt)
+    pairs = spark.createDataFrame([(3, 7), (7, 9)], ["id_a", "id_b"])
+    rows = dup_clusters(pairs).collect()
+    assert {(r["cluster_id"], r["member_id"]) for r in rows} == {
+        (3, 3), (3, 7), (3, 9)
+    }
+    assert any(fs for _, _, fs in os.walk(ckpt)), "env-var path not taken"

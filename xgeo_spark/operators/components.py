@@ -17,16 +17,26 @@ id, no all-pairs work anywhere.
 
 Scale: near-dup graphs at 100 TB are huge in node count but shallow —
 clusters are cliques-ish blobs with tiny diameter, so the loop runs ~3-5
-rounds regardless of data size. Each round's lineage is truncated with an
-eager ``localCheckpoint`` (without it, the plan doubles every round and the
-driver dies on analysis long before the executors sweat). Convergence is
-an exact changed-label count (an any-change probe: ``limit(1).count()``
-over the old⋈new label join, co-partitioned because both sides were just
-hash-aggregated on node — one bounded scalar job per round). For graphs
-with adversarially long chains, swap the propagation body for the
-large-star/small-star rewrite (Kiveris et al., "Connected Components in
-MapReduce and Beyond", SoCC'14) — same interface, fewer rounds; not needed
-for dedup-shaped graphs.
+rounds regardless of data size. Each round's lineage must be truncated
+(without it, the plan doubles every round and the driver dies on analysis
+long before the executors sweat); HOW it is truncated is the
+fault-tolerance knob:
+
+- ``checkpoint_dir`` set (the CLUSTER path): reliable ``checkpoint()`` to
+  that directory — each round's labels live on HDFS/object storage, so
+  losing an executor mid-loop costs one round's recompute, not the job.
+  This is what a 1000-executor run must use.
+- ``checkpoint_dir`` unset (single-node/test default): ``localCheckpoint``
+  — blocks on executors, zero extra I/O, but an executor loss kills the
+  lineage; acceptable only where executor == driver (local mode).
+
+Convergence is an exact changed-label count (an any-change probe:
+``limit(1).count()`` over the old⋈new label join, co-partitioned because
+both sides were just hash-aggregated on node — one bounded scalar job per
+round). For graphs with adversarially long chains, swap the propagation
+body for the large-star/small-star rewrite (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) — same interface, fewer
+rounds; not needed for dedup-shaped graphs.
 
 Reference provenance: the reference engine has no graph/set operators at
 all (SURVEY.md §2.3); this is part of the target's training-data-pipeline
@@ -44,6 +54,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Cluster the undirected graph given by ``edges`` (one row per edge).
 
@@ -53,38 +64,57 @@ def connected_components(
     appear in ``edges`` and so are not emitted — callers wanting
     singleton clusters left-join this result against their node set.
 
+    ``checkpoint_dir`` (default: the ``XGEO_CHECKPOINT_DIR`` env var)
+    selects reliable per-round checkpoints — REQUIRED on a real cluster,
+    see module doc. Unset falls back to executor-local lineage truncation.
+
     Raises RuntimeError if the propagation has not reached a fixpoint
     after ``max_iter`` rounds (diameter > max_iter).
     """
+    import os
+
+    checkpoint_dir = checkpoint_dir or os.environ.get("XGEO_CHECKPOINT_DIR")
+    if checkpoint_dir:
+        sc = edges.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None or not str(
+            sc.getCheckpointDir()
+        ).startswith(checkpoint_dir.rstrip("/")):
+            sc.setCheckpointDir(checkpoint_dir)
+
+    def _truncate(df: DataFrame, eager: bool) -> DataFrame:
+        if checkpoint_dir:
+            return df.checkpoint(eager=eager)
+        return df.localCheckpoint(eager=eager)
+
     # symmetrize once; both directions are needed so a label can travel
     # either way along an edge
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = (
+    sym = _truncate(
         fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        eager=True,
     )
 
-    labels = (
+    labels = _truncate(
         sym.select(F.col("a").alias("node"))
         .distinct()
-        .withColumn("lbl", F.col("node"))
-        .localCheckpoint(eager=True)
+        .withColumn("lbl", F.col("node")),
+        eager=True,
     )
     for _ in range(max_iter):
         # each neighbor offers its current label; min over (self ∪ offers)
         offers = sym.join(labels, sym["a"] == labels["node"]).select(
             F.col("b").alias("node"), F.col("lbl")
         )
-        new_labels = (
+        new_labels = _truncate(
             offers.unionByName(labels)
             .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
+            .agg(F.min("lbl").alias("lbl")),
             # lazy: the convergence probe below is the round's one action
             # and materializes the checkpoint as a side effect — eager=True
             # would compute the same plan twice per round
-            .localCheckpoint(eager=False)
+            eager=False,
         )
         # exact fixpoint test, id-type-agnostic: count nodes whose label
         # moved. Both sides were just hash-aggregated on node, so the join
@@ -109,6 +139,7 @@ def dup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs -> cluster assignment with representative + size.
 
@@ -117,7 +148,9 @@ def dup_clusters(
     ``n_members``; every member with ``member_id != cluster_id`` is a
     candidate for dropping.
     """
-    comp = connected_components(pairs, src=id_a, dst=id_b)
+    comp = connected_components(
+        pairs, src=id_a, dst=id_b, checkpoint_dir=checkpoint_dir
+    )
     w = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
     return (
         comp.join(w, "component")
