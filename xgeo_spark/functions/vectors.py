@@ -299,3 +299,132 @@ def ivf_probe_cells(
     sims = (s / norms[:, None]) @ (q / qn)
     order = np.lexsort((ids, -sims))
     return [int(ids[i]) for i in order[:nprobe]]
+
+
+def kmeans_refine(
+    df: DataFrame,
+    seed_matrix: list[list[float]],
+    seed_ids: list[int],
+    vec_col: str = "embedding",
+    n_rounds: int = 2,
+    quantize: int | None = 6,
+    empty_cells: str = "keep",
+) -> tuple[list[list[float]], list[int]]:
+    """Lloyd k-means rounds over an embedding column, as DataFrame ops —
+    the centroid-refinement step that turns seed-vector IVF into a real
+    index (the `emb_ann_ivf` docstring's promised scale path).
+
+    Per round: cosine-argmax assignment (one Arrow matmul per batch, no
+    shuffle) then per-cell mean via d `avg(element_at(vec, i))` aggregate
+    expressions — ONE map-side-combinable hash aggregate per round, no
+    explode (exploding N vectors to N*d rows would shuffle d times the
+    data). Only K rows ever reach the driver per round.
+
+    ``quantize`` rounds each centroid component (cross-engine determinism:
+    avg over doubles is summation-order-dependent; rounding to 1e-6
+    absorbs last-ulp drift so an independent engine re-deriving the same
+    rounds lands on bit-identical centroids). ``empty_cells='keep'`` is
+    classic Lloyd (a cell that loses all members keeps its centroid);
+    ``'drop'`` removes it from the index.
+
+    K*d values per round cross the driver — with K<=4096 cells that is
+    metadata-sized at any table size; the data-sized work (assignment +
+    partial aggregation) stays distributed.
+    """
+    if empty_cells not in ("keep", "drop"):
+        raise ValueError(f"unknown empty_cells policy: {empty_cells}")
+    ids = [int(i) for i in seed_ids]
+    mat = [[float(x) for x in row] for row in seed_matrix]
+    d = len(mat[0])
+    for _ in range(max(0, n_rounds)):
+        assign = ivf_assign_udf(mat, ids)
+        aggs = [
+            F.avg(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(f"m{i}")
+            for i in range(d)
+        ]
+        rows = (
+            df.select(assign(F.col(vec_col)).alias("cell"), vec_col)
+            .groupBy("cell")
+            .agg(*aggs)
+            .collect()
+        )
+        means = {
+            int(r["cell"]): [
+                round(r[f"m{i}"], quantize) if quantize is not None else r[f"m{i}"]
+                for i in range(d)
+            ]
+            for r in rows
+        }
+        if empty_cells == "drop":
+            ids = [c for c in ids if c in means]
+            mat = [means[c] for c in ids]
+        else:
+            mat = [means.get(c, old) for c, old in zip(ids, mat)]
+        if not ids:
+            raise ValueError("k-means lost every cell (empty input?)")
+    return mat, ids
+
+
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    cell_ids: list[int],
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize an IVF index: rows written parquet-PARTITIONED BY their
+    `cell` assignment, centroid matrix stored beside the data. Probing a
+    cell is then PARTITION PRUNING (the scan plans only cell=<id>
+    directories and never lists the rest) — the lake-layout realization of
+    "IVF reads nprobe/K of the table". `repartition("cell")` keeps it to
+    one file per cell per write, not one per (task, cell)."""
+    import json as _json
+
+    assign = ivf_assign_udf(centroids, cell_ids)
+    (
+        df.withColumn("cell", assign(F.col(vec_col)))
+        .repartition("cell")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    meta = _json.dumps({"cell_ids": cell_ids, "centroids": centroids})
+    spark = df.sparkSession
+    # sidecar via the DataFrame writer so the index works on any Hadoop FS
+    spark.createDataFrame([(meta,)], "meta string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(path + "_meta")
+
+
+def ivf_search(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by cosine from a materialized IVF index: pick the nprobe
+    nearest centroids driver-side (metadata math), read ONLY those cells'
+    partitions, exact-verify inside them."""
+    import json as _json
+
+    meta = _json.loads(
+        spark.read.text(path + "_meta").first()["value"]
+    )
+    probe = ivf_probe_cells(
+        meta["centroids"], meta["cell_ids"], query_vec, nprobe
+    )
+    cos = cosine_to_anchor_udf([float(x) for x in query_vec])
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probe))
+        .select(
+            id_col,
+            "cell",
+            F.round(cos(F.col(vec_col)), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), id_col)
+        .limit(k)
+    )

@@ -1539,6 +1539,106 @@ LIMIT 10
 """
 
 
+def emb_ann_ivf_kmeans(spark, sf_dir):
+    """IVF with k-means-REFINED centroids (the `emb_ann_ivf` docstring's
+    promised scale path, VERDICT r2 item 6): two Lloyd rounds as DataFrame
+    ops (`kmeans_refine` — one map-side-combinable hash aggregate per
+    round, centroids quantized to 1e-6 for cross-engine determinism), then
+    the standard nprobe=2 probe + exact verify. Fully SQL-re-derivable:
+    the oracle restates BOTH Lloyd rounds (assignment cross-join + per-dim
+    rounded AVG reassembled with list(ORDER BY dim)), the probe, and the
+    verify — so the hash check covers the refinement itself, not just the
+    final ranking. At scale the refined centroids feed `write_ivf_index`,
+    which lays the table out partitioned by cell so probing is partition
+    pruning (tests/test_vectors.py evidences the PartitionFilters plan).
+    """
+    from xgeo_spark.functions.vectors import (
+        cosine_to_anchor_udf,
+        ivf_assign_udf,
+        ivf_probe_cells,
+        kmeans_refine,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    seed_rows = (
+        e.filter(F.col("vec_id").between(1, 8))
+        .select("vec_id", "embedding").collect()
+    )
+    seed_ids = [int(r["vec_id"]) for r in seed_rows]
+    seed_mat = [[float(x) for x in r["embedding"]] for r in seed_rows]
+    anchor = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    mat, ids = kmeans_refine(
+        e, seed_mat, seed_ids, n_rounds=2, quantize=6, empty_cells="drop"
+    )
+    probe = ivf_probe_cells(mat, ids, anchor, nprobe=2)
+    assign = ivf_assign_udf(mat, ids)
+    cos = cosine_to_anchor_udf(anchor)
+    return (
+        e.withColumn("cell", assign(F.col("embedding")))
+        .filter(F.col("cell").isin(probe) & (F.col("vec_id") != 0))
+        .select("vec_id", "label", "cell",
+                F.round(cos(F.col("embedding")), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+def _ivf_kmeans_sql() -> str:
+    """DuckDB restatement of two Lloyd rounds + probe + verify. Each round
+    is: cosine-argmax assignment (cross join, row_number tie-broken to the
+    lower cell id) then per-cell centroid = per-dim ROUND(AVG, 6)
+    reassembled in dim order — exactly kmeans_refine(quantize=6,
+    empty_cells='drop')."""
+    cos = _IVF_COS
+
+    def _round(src: str, cents: str, out_assign: str, out_cent: str) -> str:
+        return f"""
+{out_assign} AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos('e.embedding', 'c.s')} DESC, c.cell) AS rk
+    FROM {src} e CROSS JOIN {cents} c)
+  WHERE rk = 1),
+{out_cent} AS (
+  SELECT cell, list(m ORDER BY i) AS s FROM (
+    SELECT t.cell, g.i,
+           ROUND(AVG(CAST(t.embedding[g.i] AS DOUBLE)), 6) AS m
+    FROM {out_assign} t, UNNEST(generate_series(1, len(t.embedding))) AS g(i)
+    GROUP BY t.cell, g.i) GROUP BY cell)"""
+
+    return f"""
+WITH a AS (SELECT embedding AS anchor FROM embeddings WHERE vec_id = 0),
+seeds AS (SELECT vec_id AS cell, embedding AS s
+          FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+{_round('embeddings', 'seeds', 'a1', 'c1')},
+{_round('embeddings', 'c1', 'a2', 'c2')},
+a3 AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos('e.embedding', 'c.s')} DESC, c.cell) AS rk
+    FROM embeddings e CROSS JOIN c2 c)
+  WHERE rk = 1),
+probe AS (SELECT c.cell FROM c2 c, a
+          ORDER BY {cos('c.s', 'a.anchor')} DESC, c.cell LIMIT 2)
+SELECT e.vec_id, e.label, x.cell,
+       ROUND({cos('e.embedding', 'a.anchor')}, 6) AS cosine
+FROM a3 x
+JOIN embeddings e ON e.vec_id = x.vec_id
+JOIN probe p ON x.cell = p.cell, a
+WHERE e.vec_id <> 0
+ORDER BY cosine DESC, e.vec_id
+LIMIT 10
+"""
+
+
+EMB_ANN_IVF_KMEANS_SQL = _ivf_kmeans_sql()
+
+
 def events_cube(spark, sf_dir):
     """CUBE grouping sets over (event_type, hour-of-day): all four grouping
     combinations in ONE pass — Catalyst expands the cube into a single
@@ -1776,6 +1876,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "orders_open_range_join": (orders_open_range_join, ORDERS_RANGE_JOIN_SQL),
     "doc_tfidf_top_terms": (doc_tfidf_top_terms, DOC_TFIDF_SQL),
     "emb_ann_ivf": (emb_ann_ivf, EMB_ANN_IVF_SQL),
+    "emb_ann_ivf_kmeans": (emb_ann_ivf_kmeans, EMB_ANN_IVF_KMEANS_SQL),
     "cdc_patch_events": (cdc_patch_events, CDC_PATCH_SQL),
     "events_approx_users": (events_approx_users, _GOLDEN.get("events_approx_users")),
     "events_cube": (events_cube, EVENTS_CUBE_SQL),

@@ -124,7 +124,15 @@ class HadoopFS:
         check inside rename is not atomic with the rename itself — a
         residual TOCTOU window that HDFS does not have; single-writer
         deployments (one streaming driver per table, the supported
-        topology) never enter it."""
+        topology) never enter it.
+
+        SCOPE: this protocol is only correct on RENAME-ATOMIC filesystems
+        (HDFS, file:, most POSIX-semantics stores). On S3A, rename is a
+        non-atomic copy+delete and the dst-exists probe races other
+        writers — do NOT point a ParquetLakeTable at s3a:// and expect
+        commit-conflict detection. The object-store answer is a catalog
+        with a real atomic swap: use the IcebergLakeTable sink there
+        (Iceberg commits via catalog CAS, not rename)."""
         parent = posixpath.dirname(path)
         self.mkdirs(parent)
         tmp = f"{path}.tmp.{uuid.uuid4().hex}"
