@@ -186,6 +186,110 @@ def run_cdc_bench(
     }
 
 
+def run_skew_bench(spark, workdir: str, n_events: int = 8_000_000) -> dict:
+    """Hot-key skew stress (VERDICT r2 item 8): the SAME decoded feed
+    through four LWW dedup strategies, walls compared.
+
+    The feed is generated with zipf_s=2.5 over 500 single-turn-ish
+    conversations, so ONE key receives ~39% of all events (disclosed as
+    ``hot_key_frac``). The four variants:
+
+    - ``window_unopt``: row_number over partitionBy(key) with Spark's
+      WindowGroupLimit optimization DISABLED
+      (spark.sql.optimizer.windowGroupLimitThreshold=-1) — the true
+      textbook straggler plan: every hot-key row shuffles to ONE task,
+      which sorts them all. This is the counterfactual cost.
+    - ``window``: the same code on default Spark 4. Catalyst inserts a
+      PARTIAL WindowGroupLimit below the exchange (verified in the plan
+      by tests/test_dedup.py), so each map task pre-reduces to 1 row per
+      key BEFORE the shuffle — the rank<=k filter is already skew-proof,
+      the same map-side-combine shape as the agg path.
+    - ``window_salted``: the explicit two-phase salted pre-reduce
+      (operators/dedup.py) — the portable answer on engines without
+      group-limit pushdown, kept for operator parity.
+    - ``agg``: groupBy().max_by() — partial aggregation collapses hot
+      keys map-side (the pipeline's default).
+
+    The input is cached and counted first so the walls time the dedup
+    shuffle strategy, not the scan/decode; the measured action checksums
+    the winners' text so the payload rides the shuffle like it does in
+    the real pipeline. All four outputs are asserted identical. At 100x
+    the data the unopt wall grows with the hot key's row count while the
+    other three grow with rows-per-core — this leg turns that claim into
+    numbers.
+    """
+    from pyspark.sql import functions as F
+
+    from xgeo_spark.fixtures.generator import (
+        ChangeStreamConfig, write_change_stream_parquet,
+    )
+    from xgeo_spark.operators.dedup import lww_dedup
+    from xgeo_spark.sources.change_feed import ChangeFeedSource
+
+    feed = os.path.join(workdir, "skew_feed")
+    # mean_turns=1 concentrates each conversation's traffic on 1-2 keys;
+    # with zipf_s=2.5 over 500 convs the hottest KEY then absorbs ~30-40%
+    # of the whole feed — the single-task sort a naive window serializes
+    cfg = ChangeStreamConfig(
+        n_events=n_events, n_convs=500, zipf_s=2.5, mean_turns=1.0,
+        seed=7, n_files=32,
+    )
+    write_change_stream_parquet(feed, cfg)
+    src = ChangeFeedSource(spark, feed)
+    paths = sorted(
+        os.path.join(feed, f) for f in os.listdir(feed) if f.endswith(".parquet")
+    )
+    df = src.read_batch(paths).cache()
+    total = df.count()
+    hot = (
+        df.groupBy("conv_id", "turn_idx").count()
+        .orderBy(F.col("count").desc()).first()
+    )
+    out: dict = {
+        "n_events": total,
+        "zipf_s": 2.5,
+        "n_convs": 500,
+        "hot_key_rows": hot["count"],
+        "hot_key_frac": round(hot["count"] / total, 4),
+    }
+    counts = {}
+    wgl_key = "spark.sql.optimizer.windowGroupLimitThreshold"
+    wgl_default = spark.conf.get(wgl_key, "1")
+    for name, kwargs in (
+        ("window_unopt", {"strategy": "window", "salt_buckets": 0}),
+        ("window", {"strategy": "window", "salt_buckets": 0}),
+        ("window_salted", {"strategy": "window", "salt_buckets": 32}),
+        ("agg", {"strategy": "agg"}),
+    ):
+        spark.conf.set(wgl_key, "-1" if name == "window_unopt" else wgl_default)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            # checksum over the winners' TEXT, not count(): a bare count
+            # lets Catalyst prune every payload column before the window
+            # sort, and the straggler goes bytes-free. The pipeline's
+            # dedup carries the full row — so must the measurement.
+            row = (
+                lww_dedup(df, ["conv_id", "turn_idx"], **kwargs)
+                .agg(F.count("*").alias("n"),
+                     F.sum(F.length("text")).alias("text_bytes"))
+                .first()
+            )
+            wall = time.perf_counter() - t0
+            best = wall if best is None else min(best, wall)
+        counts[name] = (row["n"], row["text_bytes"])
+        out[f"{name}_s"] = round(best, 3)
+    spark.conf.set(wgl_key, wgl_default)
+    assert len(set(counts.values())) == 1, counts
+    out["dedup_rows"] = counts["agg"][0]
+    for name in ("window", "window_salted", "agg"):
+        out[f"{name}_speedup_vs_unopt"] = round(
+            out["window_unopt_s"] / out[f"{name}_s"], 2
+        )
+    df.unpersist()
+    return out
+
+
 def run_query_bench(spark, sf_dir: str, reps: int = 3) -> dict[str, float]:
     """Each headline query ``reps`` times, per-query best wall (same noisy-
     host rationale as the CDC reps; the plan and the input are identical
@@ -211,6 +315,7 @@ def one_run(
     cdc_only: bool = False,
     feed_dir: str | None = None,
     cdc_reps: int = 3,
+    skew: bool = True,
 ) -> dict:
     from xgeo_spark.session import get_spark
 
@@ -235,11 +340,14 @@ def one_run(
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
         spark.conf.set("spark.sql.files.openCostInBytes", str(min(split, 1 << 20)))
         queries = {} if cdc_only else run_query_bench(spark, sf_dir)
+        skew_res = (
+            run_skew_bench(spark, workdir) if skew and not cdc_only else None
+        )
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
         spark.stop()
     total = cdc["wall_s"] + sum(queries.values())
-    return {
+    out = {
         "metric": "cdc_apply_wall_plus_headline_queries",
         "value": round(total, 3),
         "unit": "sec",
@@ -248,6 +356,9 @@ def one_run(
         "cpus": cpus,
         "cdc": cdc,
     }
+    if skew_res is not None:
+        out["skew"] = skew_res
+    return out
 
 
 def host_cpu_calibration(n_lo: int = 4, n_hi: int = 16) -> float:
@@ -417,13 +528,16 @@ def main() -> None:
     ap.add_argument("--feed-dir", default=None,
                     help="replay an existing feed instead of generating one")
     ap.add_argument("--json-out", default=None)
+    ap.add_argument("--no-skew", action="store_true",
+                    help="skip the hot-key skew dedup-strategy leg")
     args = ap.parse_args()
 
     if args.scaling:
         result = scaling_run(args.sf_dir, args.scaling_events)
     else:
         result = one_run(args.cpus, args.sf_dir, cdc_only=args.cdc_only,
-                         feed_dir=args.feed_dir, cdc_reps=args.cdc_reps)
+                         feed_dir=args.feed_dir, cdc_reps=args.cdc_reps,
+                         skew=not args.no_skew)
 
     line = json.dumps(result)
     if args.json_out:

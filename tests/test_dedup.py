@@ -65,3 +65,23 @@ def test_strategies_agree_on_random_feed(spark):
     dw = {key(r): (r["lsn"], r["op"], r["text"]) for r in w.collect()}
     assert da == dw
     assert len(da) > 0
+
+
+def test_window_plan_has_partial_group_limit(spark):
+    """The bench's skew leg (bench.py run_skew_bench) claims the plain
+    window dedup is skew-proof on Spark 4 because Catalyst inserts a
+    PARTIAL WindowGroupLimit below the exchange — each map task reduces
+    to 1 row per key BEFORE the shuffle, so a hot key never concentrates
+    its raw rows in one reducer. Pin that plan shape so an upgrade or a
+    conf change that silently drops it is caught here, not at 10^10
+    events."""
+    out = lww_dedup_window(_df(spark, ROWS), ["conv_id", "turn_idx"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    partial = plan.find("WindowGroupLimit")
+    assert partial != -1, plan
+    assert "Partial" in plan[partial:], plan
+    # and the partial phase sits BELOW the exchange (map side): the plan
+    # prints top-down, so the Partial occurrence comes after Exchange
+    exch = plan.find("Exchange hashpartitioning")
+    partial_line = plan.find(", Partial")
+    assert exch != -1 and partial_line > exch, plan
