@@ -188,3 +188,87 @@ def test_concurrent_writer_conflict_detected(spark, tmp_path):
                 referenced.update(f.split("/")[1] for f in fl)
     on_disk = set(os.listdir(os.path.join(root, "data")))
     assert on_disk <= referenced, (on_disk, referenced)
+
+
+# ---- round-3: two-level (minor/major) compaction ----------------------------
+
+
+def test_compact_minor_folds_raw_into_run_without_touching_base(table, spark):
+    """compact_minor collapses the raw delta stack into one RUN file per
+    touched bucket, leaves every base file byte-identical in the manifest,
+    and the read stays correct."""
+    m0 = table.manifest()
+    before = table.read().orderBy("conv_id", "turn_idx").toPandas()
+    assert table.raw_delta_depth() >= 2 and table.run_depth() == 0
+    stats = table.compact_minor()
+    assert not stats.skipped
+    m1 = table.manifest()
+    assert m1["buckets"] == m0["buckets"]  # base untouched
+    assert m1["run_files"], m1
+    runs = set(m1["run_files"])
+    for fl in m1["deltas"].values():
+        for f in fl:
+            assert f in runs  # every remaining delta entry is a run
+    assert table.raw_delta_depth() == 0 and table.run_depth() >= 1
+    assert m1["commits"][-1]["compaction"] and m1["commits"][-1]["minor"]
+    after = table.read().orderBy("conv_id", "turn_idx").toPandas()
+    pd.testing.assert_frame_equal(before, after)
+    # a second minor with nothing raw is a no-op (runs are not re-folded)
+    assert table.compact_minor().skipped
+
+
+def test_major_compact_clears_runs(table):
+    table.compact_minor()
+    table.merge(_batch(spark=table.spark, lsn0=30, texts={0: "v4-a"}), batch_id=3)
+    assert table.run_depth() == 1 and table.raw_delta_depth() == 1
+    table.compact()  # major folds base + runs + raw
+    m = table.manifest()
+    assert m.get("run_files") == []
+    assert all(not fl for fl in m["deltas"].values())
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in table.read().collect()
+    }
+    assert got[("c", 0)] == "v4-a" and got[("c", 2)] == "v3-c"
+
+
+def test_minor_major_cadence_matches_oracle(spark, tmp_path):
+    """Full replay with the two-level cadence ON (threshold 2, major every
+    2 runs): the final table equals the LWW oracle AND the commit log
+    shows both minor and major compactions actually fired."""
+    from xgeo_spark.fixtures.generator import (
+        ChangeStreamConfig,
+        generate_change_events,
+        lww_oracle,
+        write_change_stream_parquet,
+    )
+    from xgeo_spark.streaming.pipeline import CDCIngestPipeline, IngestConfig
+
+    cfg = ChangeStreamConfig(n_events=8000, n_convs=80, seed=31, n_files=12)
+    feed = str(tmp_path / "feed")
+    write_change_stream_parquet(feed, cfg)
+    t = ParquetLakeTable(spark, str(tmp_path / "lake"))
+    pipe = CDCIngestPipeline(
+        spark, feed, t,
+        config=IngestConfig(n_buckets=8, lineage=False, compact_threshold=2,
+                            minor_compaction=True, major_every=2),
+    )
+    pipe.run_batch_replay(files_per_batch=1)
+    kinds = {
+        ("minor" if c.get("minor") else "major")
+        for c in t.history() if c.get("compaction")
+    }
+    assert kinds == {"minor", "major"}, t.history()
+    got = t.read().orderBy("conv_id", "turn_idx").toPandas().fillna("∅")
+    oracle = lww_oracle(generate_change_events(cfg))
+    assert got["text"].tolist() == oracle["text"].fillna("∅").tolist()
+    assert got["role"].tolist() == oracle["role"].fillna("∅").tolist()
+
+
+def test_expire_versions_keeps_run_files(table, spark):
+    table.compact_minor()
+    table.merge(_batch(spark, 40, {1: "v5-b"}), batch_id=4)
+    before = table.read().orderBy("conv_id", "turn_idx").toPandas()
+    table.expire_versions(keep_last=1)
+    after = table.read().orderBy("conv_id", "turn_idx").toPandas()
+    pd.testing.assert_frame_equal(before, after)

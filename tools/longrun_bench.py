@@ -58,6 +58,10 @@ def parse_args():
     p.add_argument("--parallelism", type=int, default=32)
     p.add_argument("--skip-verify", action="store_true",
                    help="skip the DuckDB final-state cross-check")
+    p.add_argument("--minor-compaction", action="store_true",
+                   help="two-level LSM cadence: minor folds at the "
+                        "threshold, major every --major-every runs")
+    p.add_argument("--major-every", type=int, default=4)
     return p.parse_args()
 
 
@@ -97,6 +101,7 @@ def replay(spark, args, feed: str) -> tuple[list[dict], object]:
     table = ParquetLakeTable(spark, lake)
     cfg = IngestConfig(
         n_buckets=32, normalize_text=True, adaptive=False, compact_threshold=8,
+        minor_compaction=args.minor_compaction, major_every=args.major_every,
     )
     pipe = CDCIngestPipeline(spark, feed, table, lineage_path=lineage, config=cfg)
 
@@ -146,6 +151,7 @@ def replay(spark, args, feed: str) -> tuple[list[dict], object]:
             "wall_s": round(wall, 3),
             "ev_s": round(n_ev / wall, 1),
             "delta_depth": table.delta_depth(),
+            "run_depth": table.run_depth(),
             **_manifest_stats(),
         }
         if expired is not None:
@@ -276,6 +282,8 @@ def main():
         "expire_every": args.expire_every,
         "keep_last": args.keep_last,
         "compact_threshold": 8,
+        "minor_compaction": args.minor_compaction,
+        "major_every": args.major_every if args.minor_compaction else None,
         **decile_summary(batches),
         "final_delta_depth": batches[-1]["delta_depth"],
         "final_manifest_bytes": batches[-1]["manifest_bytes"],

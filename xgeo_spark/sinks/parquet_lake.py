@@ -643,6 +643,28 @@ class ParquetLakeTable(LakeTable):
         deltas = m.get("deltas") or {}
         return max((len(v) for v in deltas.values()), default=0)
 
+    def raw_delta_depth(self) -> int:
+        """Max per-bucket count of RAW delta files (per-batch appends),
+        excluding minor-compaction runs — the minor-compaction trigger."""
+        m = self.manifest()
+        runs = set(m.get("run_files") or [])
+        deltas = m.get("deltas") or {}
+        return max(
+            (sum(1 for f in v if f not in runs) for v in deltas.values()),
+            default=0,
+        )
+
+    def run_depth(self) -> int:
+        """Max per-bucket count of minor-compaction RUN files — the major-
+        compaction trigger."""
+        m = self.manifest()
+        runs = set(m.get("run_files") or [])
+        deltas = m.get("deltas") or {}
+        return max(
+            (sum(1 for f in v if f in runs) for v in deltas.values()),
+            default=0,
+        )
+
     def compact(
         self,
         cluster_by: str | None = None,
@@ -714,6 +736,10 @@ class ParquetLakeTable(LakeTable):
         new_manifest["deltas"] = {
             b: [] if int(b) in set(touched) else fl for b, fl in deltas.items()
         }
+        # run files folded into the base stop being runs
+        still_delta = {f for fl in new_manifest["deltas"].values() for f in fl}
+        old_runs = m.get("run_files") or []
+        new_manifest["run_files"] = [f for f in old_runs if f in still_delta]
         new_manifest["file_stats"] = self._carry_stats(
             m, new_manifest["buckets"], new_manifest["deltas"],
             self._collect_file_stats(written),
@@ -727,6 +753,94 @@ class ParquetLakeTable(LakeTable):
                 "deletes_in": 0,
                 "schema_changed": False,
                 "compaction": True,
+            }
+        ]
+        try:
+            self._commit(new_manifest)
+        except CommitConflictError:
+            self._delete_attempt_files(written)
+            raise
+        return MergeStats(batch_id=None, version=version, buckets_touched=len(touched))
+
+    def compact_minor(self, min_depth: int = 1) -> MergeStats:
+        """LSM-style MINOR compaction: fold each qualifying bucket's RAW
+        delta stack (the per-batch appends) into one collapsed RUN file —
+        without reading or rewriting the base. ``compact()`` is the major
+        sibling that folds base+runs+raw.
+
+        Why two levels at 10^10 events: a major compaction's cost is
+        dominated by re-writing the bucket's whole base, so running it
+        every ``compact_threshold`` batches pays base-size I/O on a
+        base-sized table every few minutes forever. A minor fold costs
+        O(delta window) — it reads only the raw deltas and writes their
+        per-key LWW winners — and keeps read amplification bounded
+        (base + <=major_every runs + <=threshold raw generations, where
+        runs are already collapsed). The base rewrite then amortizes over
+        ``major_every`` x ``compact_threshold`` batches instead of
+        ``compact_threshold``. Correctness is order-theoretic: the LWW
+        reduce is an argmax under a total order, hence associative —
+        reducing the deltas among themselves first cannot change the
+        overall winner against the base, and tombstones are retained in
+        runs exactly as majors retain them in the base.
+
+        Run files are ordinary delta files to every reader (``read``,
+        ``lookup``, ``scan``, ``table_changes``, ``expire_versions`` all
+        see them in ``deltas``); the manifest's ``run_files`` list only
+        marks which delta entries are runs, so the triggers can count raw
+        vs run depth separately. The commit is flagged ``compaction`` +
+        ``minor`` so change readers treat the re-referenced rows like any
+        compaction rewrite."""
+        m = self.manifest()
+        deltas: dict = m.get("deltas") or {}
+        run_files = set(m.get("run_files") or [])
+        raw = {
+            b: [f for f in fl if f not in run_files] for b, fl in deltas.items()
+        }
+        touched = sorted(
+            int(b) for b, fl in raw.items() if len(fl) >= max(1, min_depth)
+        )
+        if not touched:
+            return MergeStats(batch_id=None, skipped=True, version=m["version"])
+        key_cols = m["key_cols"]
+        physical = self._physical_schema(
+            T.StructType.fromJson(json.loads(m["schema"]))
+        )
+        files = [f for b in touched for f in raw[str(b)]]
+        combined = (
+            self._read_files(files, physical)
+            .withColumn("_bucket", _bucket_expr(key_cols[0], m["n_buckets"]))
+            .repartition(max(len(touched), 1), "_bucket")
+        )
+        reduced = self._lww_reduce(combined, ["_bucket"] + key_cols)
+
+        version = m["version"] + 1
+        written = self._write_buckets(reduced, version, m)
+        new_deltas = dict(deltas)
+        new_runs = set(run_files)
+        for b in touched:
+            sb = str(b)
+            kept_runs = [f for f in deltas.get(sb, []) if f in run_files]
+            fresh = written.get(b, [])
+            new_deltas[sb] = kept_runs + fresh
+            new_runs.update(fresh)
+        still = {f for fl in new_deltas.values() for f in fl}
+        new_manifest = dict(m)
+        new_manifest["version"] = version
+        new_manifest["deltas"] = new_deltas
+        new_manifest["run_files"] = sorted(new_runs & still)
+        new_manifest["file_stats"] = self._carry_stats(
+            m, m["buckets"], new_deltas, self._collect_file_stats(written)
+        )
+        new_manifest["commits"] = (m.get("commits") or [])[-99:] + [
+            {
+                "batch_id": None,
+                "offset_range": None,
+                "buckets_rewritten": touched,
+                "rows_in": 0,
+                "deletes_in": 0,
+                "schema_changed": False,
+                "compaction": True,
+                "minor": True,
             }
         ]
         try:
@@ -785,6 +899,7 @@ class ParquetLakeTable(LakeTable):
         new_m["version"] = version
         new_m["buckets"] = {str(b): fl for b, fl in written.items()}
         new_m["deltas"] = {}
+        new_m["run_files"] = []  # everything folded into the new base
         new_m["file_stats"] = self._carry_stats(
             m, new_m["buckets"], {}, self._collect_file_stats(written)
         )
@@ -1087,6 +1202,7 @@ class ParquetLakeTable(LakeTable):
             "deletes_in": int(stats_hints.get("deletes_in", 0) or 0),
             "schema_changed": schema_changed,
         }
+        still_delta = {f for fl in new_deltas.values() for f in fl}
         new_manifest = {
             "version": version,
             "schema": json.dumps(new_user.jsonValue()),
@@ -1096,6 +1212,10 @@ class ParquetLakeTable(LakeTable):
             "last_batch_id": batch_id if batch_id is not None else last,
             "buckets": new_buckets,
             "deltas": new_deltas,
+            # minor-compaction run markers survive unrelated merges
+            "run_files": [
+                f for f in (m.get("run_files") or []) if f in still_delta
+            ],
             "file_stats": self._carry_stats(
                 m, new_buckets, new_deltas, self._collect_file_stats(written)
             ),

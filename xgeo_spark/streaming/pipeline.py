@@ -52,6 +52,16 @@ class IngestConfig:
     # batch (read-optimized). See sinks/parquet_lake.py.
     merge_mode: str = "mor"
     compact_threshold: int = 8
+    # two-level (LSM minor/major) compaction: when any bucket stacks
+    # compact_threshold RAW deltas, fold them into one collapsed RUN file
+    # (base untouched, O(delta window)); only after major_every runs pile
+    # up does a MAJOR compaction fold base+runs+raw (O(base)). Amortizes
+    # the base rewrite over major_every*compact_threshold batches instead
+    # of compact_threshold, while read depth stays bounded at
+    # base + major_every runs + compact_threshold raw generations.
+    # Off by default: single-level (always-major) is the round-2 behavior.
+    minor_compaction: bool = False
+    major_every: int = 4
     # op-'P' partial images ("null means unchanged"): squashed into full
     # rows at ingest via a bucket-pruned read-modify-write
     # (operators/patch.py). Off by default — feeds without patches must
@@ -249,14 +259,25 @@ class CDCIngestPipeline:
         from xgeo_spark.sinks.parquet_lake import ParquetLakeTable
 
         if (
-            not stats.skipped
-            and isinstance(self.table, ParquetLakeTable)
-            and self.table.manifest().get("mode") == "mor"
-            and self.table.delta_depth() >= self.config.compact_threshold
+            stats.skipped
+            or not isinstance(self.table, ParquetLakeTable)
+            or self.table.manifest().get("mode") != "mor"
         ):
-            # fold ONLY the buckets at/above threshold: under skew, one hot
-            # bucket must not force a rewrite of every cold bucket's base
-            self.table.compact(min_depth=self.config.compact_threshold)
+            return
+        threshold = self.config.compact_threshold
+        if not self.config.minor_compaction:
+            if self.table.delta_depth() >= threshold:
+                # fold ONLY the buckets at/above threshold: under skew, one
+                # hot bucket must not force a rewrite of every cold bucket
+                self.table.compact(min_depth=threshold)
+            return
+        if self.table.raw_delta_depth() >= threshold:
+            if self.table.run_depth() >= self.config.major_every - 1:
+                # the bucket has banked its quota of runs: fold base+runs+
+                # raw; min_depth=threshold keeps cold buckets untouched
+                self.table.compact(min_depth=threshold)
+            else:
+                self.table.compact_minor(min_depth=threshold)
 
     def _apply_batch_single_job(
         self, good: DataFrame, batch_id: int | None, max_sv: int, n_bad: int
