@@ -356,6 +356,27 @@ def _parquet_schema(v2: bool):
     return pa.schema(fields)
 
 
+_ART_CACHE: dict[tuple, "_GlobalArtifacts"] = {}
+
+
+def _cached_artifacts(cfg: ChangeStreamConfig) -> "_GlobalArtifacts":
+    """Per-process memo of the (deterministic) stream-level artifacts.
+
+    A pool worker handles many file slices of the SAME stream; rebuilding
+    the key universe / Zipf weights / permutation per slice is pure waste
+    and at 10^7+ conversations costs seconds per file. Keyed by the config
+    fields the artifacts derive from; bounded to one entry (workers only
+    ever see one stream per pool)."""
+    key = (cfg.seed, cfg.n_convs, cfg.n_events, cfg.mean_turns, cfg.zipf_s,
+           cfg.schema_change_at)
+    if _ART_CACHE.get("key") != key:  # type: ignore[comparison-overlap]
+        _ART_CACHE.clear()
+        with _gc_paused():
+            _ART_CACHE["key"] = key  # type: ignore[assignment]
+            _ART_CACHE["art"] = _GlobalArtifacts(cfg)  # type: ignore[assignment]
+    return _ART_CACHE["art"]  # type: ignore[return-value]
+
+
 def _write_parquet_slice(args) -> str:
     """Worker: generate slice i and write one parquet file (module-level so
     multiprocessing can pickle it; artifacts recomputed from the seed).
@@ -368,8 +389,7 @@ def _write_parquet_slice(args) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    with _gc_paused():
-        art = _GlobalArtifacts(cfg)
+    art = _cached_artifacts(cfg)
     # whole-FILE schema decision, same rule as the single-shot writer:
     # any v2 row in [lo, hi) -> v2 layout (v2 rows are lsn >= cut)
     v2 = hi > art.cut
@@ -405,7 +425,10 @@ def _write_parquet_slice(args) -> str:
 
 
 def write_change_stream_parquet(
-    out_dir: str, cfg: ChangeStreamConfig, workers: int | None = None
+    out_dir: str,
+    cfg: ChangeStreamConfig,
+    workers: int | None = None,
+    file_range: tuple[int, int] | None = None,
 ) -> list[str]:
     """Parquet wire-format variant (faster to scan; used by the bench).
 
@@ -415,14 +438,22 @@ def write_change_stream_parquet(
     ``workers > 1`` generates files in parallel processes — slices are
     seeded independently (default_rng([seed, lo])), so the output is
     identical regardless of worker count.
+
+    ``file_range=(i, j)`` writes only files [i, j) of the SAME global
+    stream (identical bytes to a full run's files i..j-1, since slices are
+    independently seeded). This is how a feed too large for disk is
+    produced in waves: generate a wave, replay it, delete it, repeat —
+    the 10^9+-event long-run protocol.
     """
     os.makedirs(out_dir, exist_ok=True)
     jobs = [
         (cfg, lo, hi, os.path.join(out_dir, f"events-{i:05d}.parquet"))
         for i, (lo, hi) in enumerate(_slice_bounds(cfg.n_events, cfg.n_files))
     ]
+    if file_range is not None:
+        jobs = jobs[file_range[0] : file_range[1]]
     if workers is None:
-        workers = min(cfg.n_files, os.cpu_count() or 1) if cfg.n_events >= 1_000_000 else 1
+        workers = min(len(jobs), os.cpu_count() or 1) if cfg.n_events >= 1_000_000 else 1
     if workers <= 1:
         return [_write_parquet_slice(j) for j in jobs]
     import multiprocessing as mp
