@@ -201,3 +201,30 @@ def test_late_lower_lsn_event_does_not_resurrect_delete(spark, tmp_path):
            and r["_change_type"] == "upsert"]
     assert not ups, f"resurrection upsert emitted: {ups}"
     assert _apply_changes(_state(t, version=v2), changes) == _state(t, version=v3)
+
+
+def test_changes_across_minor_compaction(spark, tmp_path):
+    """A MINOR compaction (compact_minor: raw deltas folded into a run
+    file, base untouched) must be invisible to change readers, exactly
+    like a major: windows spanning the minor answer the consumer loop
+    correctly (run rows carry their original _seq, so pre-window rows are
+    filtered), and a window strictly after it emits only the new write."""
+    t = _make(spark, tmp_path, "mor")
+    v_before = t.current_version()
+    t.compact_minor()  # v5: deltas -> one run per bucket, base untouched
+    assert t.run_depth() >= 1
+    t.merge(_batch(spark, 40, {5: "f1"}), batch_id=4)  # v6
+
+    # window opened BEFORE the minor: replaying its changes lands on HEAD
+    changes = t.table_changes(2).collect()
+    got = _apply_changes(_state(t, version=2), changes)
+    assert got == _state(t)
+
+    # window strictly after the minor: only the new write, none of the
+    # run's re-referenced old rows
+    post = t.table_changes(v_before + 1)
+    assert {r["turn_idx"] for r in post.collect()} == {5}
+
+    # and a window that STARTS at the minor's own version is also clean
+    # (the minor commit itself carries no logical changes)
+    assert t.table_changes(v_before, v_before + 1).count() == 0
