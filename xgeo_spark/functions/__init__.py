@@ -6,3 +6,9 @@ from xgeo_spark.functions.text import (  # noqa: F401
     quality_score,
     ws_token_count,
 )
+from xgeo_spark.functions.vectors import (  # noqa: F401
+    ivf_probe_cells,
+    ivf_search,
+    kmeans_refine,
+    write_ivf_index,
+)
