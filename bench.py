@@ -255,31 +255,35 @@ def run_skew_bench(spark, workdir: str, n_events: int = 8_000_000) -> dict:
     counts = {}
     wgl_key = "spark.sql.optimizer.windowGroupLimitThreshold"
     wgl_default = spark.conf.get(wgl_key, "1")
-    for name, kwargs in (
-        ("window_unopt", {"strategy": "window", "salt_buckets": 0}),
-        ("window", {"strategy": "window", "salt_buckets": 0}),
-        ("window_salted", {"strategy": "window", "salt_buckets": 32}),
-        ("agg", {"strategy": "agg"}),
-    ):
-        spark.conf.set(wgl_key, "-1" if name == "window_unopt" else wgl_default)
-        best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            # checksum over the winners' TEXT, not count(): a bare count
-            # lets Catalyst prune every payload column before the window
-            # sort, and the straggler goes bytes-free. The pipeline's
-            # dedup carries the full row — so must the measurement.
-            row = (
-                lww_dedup(df, ["conv_id", "turn_idx"], **kwargs)
-                .agg(F.count("*").alias("n"),
-                     F.sum(F.length("text")).alias("text_bytes"))
-                .first()
-            )
-            wall = time.perf_counter() - t0
-            best = wall if best is None else min(best, wall)
-        counts[name] = (row["n"], row["text_bytes"])
-        out[f"{name}_s"] = round(best, 3)
-    spark.conf.set(wgl_key, wgl_default)
+    try:
+        for name, kwargs in (
+            ("window_unopt", {"strategy": "window", "salt_buckets": 0}),
+            ("window", {"strategy": "window", "salt_buckets": 0}),
+            ("window_salted", {"strategy": "window", "salt_buckets": 32}),
+            ("agg", {"strategy": "agg"}),
+        ):
+            spark.conf.set(wgl_key, "-1" if name == "window_unopt" else wgl_default)
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                # checksum over the winners' TEXT, not count(): a bare count
+                # lets Catalyst prune every payload column before the window
+                # sort, and the straggler goes bytes-free. The pipeline's
+                # dedup carries the full row — so must the measurement.
+                row = (
+                    lww_dedup(df, ["conv_id", "turn_idx"], **kwargs)
+                    .agg(F.count("*").alias("n"),
+                         F.sum(F.length("text")).alias("text_bytes"))
+                    .first()
+                )
+                wall = time.perf_counter() - t0
+                best = wall if best is None else min(best, wall)
+            counts[name] = (row["n"], row["text_bytes"])
+            out[f"{name}_s"] = round(best, 3)
+    finally:
+        # the window_unopt leg disables the group-limit optimization; an
+        # exception mid-loop must not leave the shared session crippled
+        spark.conf.set(wgl_key, wgl_default)
     assert len(set(counts.values())) == 1, counts
     out["dedup_rows"] = counts["agg"][0]
     for name in ("window", "window_salted", "agg"):

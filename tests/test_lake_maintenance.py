@@ -272,3 +272,162 @@ def test_expire_versions_keeps_run_files(table, spark):
     table.expire_versions(keep_last=1)
     after = table.read().orderBy("conv_id", "turn_idx").toPandas()
     pd.testing.assert_frame_equal(before, after)
+
+# ---- round-4: per-bucket compaction triggers + sharded majors ----------------
+
+
+def _batch_conv(spark, lsn0: int, conv: str, texts: dict[int, str]):
+    rows = [
+        {"lsn": lsn0 + i, "offset": lsn0 + i, "op": "U", "conv_id": conv,
+         "turn_idx": t, "role": "user", "text": x, "tool": None,
+         "ts": dt.datetime(2026, 1, 1), "schema_version": 1}
+        for i, (t, x) in enumerate(sorted(texts.items()))
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def _conv_per_bucket(spark, n_buckets: int) -> dict[int, str]:
+    """One conv_id per storage bucket, discovered through the engine's own
+    bucket expression (the mapping is hash-defined, not assumable)."""
+    from xgeo_spark.sinks.parquet_lake import _bucket_expr
+
+    cands = spark.createDataFrame(
+        pd.DataFrame({"conv_id": [f"conv{i}" for i in range(64)]})
+    )
+    out: dict[int, str] = {}
+    for r in cands.withColumn("b", _bucket_expr("conv_id", n_buckets)).collect():
+        out.setdefault(int(r["b"]), r["conv_id"])
+    assert len(out) == n_buckets
+    return out
+
+
+def _pipe_for(spark, tmp_path, table, **cfg_kwargs):
+    from xgeo_spark.streaming.pipeline import CDCIngestPipeline, IngestConfig
+
+    feed = tmp_path / "feed_trigger"
+    feed.mkdir(exist_ok=True)
+    return CDCIngestPipeline(
+        spark, str(feed), table,
+        config=IngestConfig(lineage=False, minor_compaction=True, **cfg_kwargs),
+    )
+
+
+def test_per_bucket_trigger_cold_run_does_not_force_major(spark, tmp_path):
+    """The ADVICE pathology: bucket Y parked at major_every-1 runs (but no
+    raw deltas) must not turn bucket X's first threshold-crossing into a
+    MAJOR — X has banked no runs of its own, so it gets a minor; Y is not
+    touched at all."""
+    from xgeo_spark.sinks.base import MergeStats
+
+    t = ParquetLakeTable(spark, str(tmp_path / "lake"))
+    t.create(TRANSCRIPT_SCHEMA, KEY_COLS, n_buckets=4)
+    convs = _conv_per_bucket(spark, 4)
+    bx, by = 0, 1
+    # park Y at one run, zero raws
+    t.merge(_batch_conv(spark, 0, convs[by], {0: "y0"}), batch_id=0)
+    t.merge(_batch_conv(spark, 10, convs[by], {0: "y1"}), batch_id=1)
+    t.compact_minor(buckets=[by])
+    # X crosses the raw threshold with zero runs
+    t.merge(_batch_conv(spark, 20, convs[bx], {0: "x0"}), batch_id=2)
+    t.merge(_batch_conv(spark, 30, convs[bx], {0: "x1"}), batch_id=3)
+    assert t.bucket_depths()[bx] == (2, 0) and t.bucket_depths()[by] == (0, 1)
+
+    pipe = _pipe_for(spark, tmp_path, t, n_buckets=4,
+                     compact_threshold=2, major_every=2)
+    y_files_before = t.manifest()["deltas"][str(by)]
+    pipe._maybe_compact(MergeStats(batch_id=3, version=t.current_version()))
+
+    last = t.history()[-1]
+    assert last.get("compaction") and last.get("minor"), last
+    assert last["buckets_rewritten"] == [bx]
+    assert t.bucket_depths()[bx] == (0, 1)
+    assert t.manifest()["deltas"][str(by)] == y_files_before  # Y untouched
+
+    # X banks its run quota -> its NEXT threshold crossing is a major of X
+    t.merge(_batch_conv(spark, 40, convs[bx], {0: "x2"}), batch_id=4)
+    t.merge(_batch_conv(spark, 50, convs[bx], {0: "x3"}), batch_id=5)
+    pipe._maybe_compact(MergeStats(batch_id=5, version=t.current_version()))
+    last = t.history()[-1]
+    assert last.get("compaction") and not last.get("minor"), last
+    assert last["buckets_rewritten"] == [bx]
+    assert t.bucket_depths()[bx] == (0, 0)
+    assert t.manifest()["deltas"][str(by)] == y_files_before  # Y still parked
+    got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in t.read().collect()}
+    assert got[(convs[bx], 0)] == "x3" and got[(convs[by], 0)] == "y1"
+
+
+def test_sharded_major_bounds_buckets_per_trigger(spark, tmp_path):
+    """major_shards=4 on a 4-bucket table: each trigger base-rewrites at
+    most ceil(4/4)=1 bucket (the deepest run stack), minors the rest, and
+    deferred buckets win priority on later cycles — all four are majored
+    exactly once across four cycles, state stays correct."""
+    from xgeo_spark.sinks.base import MergeStats
+
+    t = ParquetLakeTable(spark, str(tmp_path / "lake"))
+    t.create(TRANSCRIPT_SCHEMA, KEY_COLS, n_buckets=4)
+    convs = _conv_per_bucket(spark, 4)
+    pipe = _pipe_for(spark, tmp_path, t, n_buckets=4, compact_threshold=2,
+                     major_every=2, major_shards=4)
+
+    def stack_all(lsn0: int, tag: str):
+        # two raw generations on every bucket (each batch hits all 4 convs)
+        for j in range(2):
+            bid = t.last_batch_id() or 0
+            df = None
+            for b, c in convs.items():
+                part = _batch_conv(spark, lsn0 + 100 * b + 10 * j, c,
+                                   {0: f"{tag}-{b}-{j}"})
+                df = part if df is None else df.unionByName(part)
+            t.merge(df, batch_id=bid + 1)
+
+    # cycle 0: everyone crosses threshold with no runs -> one big minor
+    stack_all(1000, "a")
+    pipe._maybe_compact(MergeStats(batch_id=None, version=t.current_version()))
+    assert t.history()[-1].get("minor")
+    assert sorted(t.history()[-1]["buckets_rewritten"]) == [0, 1, 2, 3]
+
+    majored: list[int] = []
+    for cycle in range(4):
+        stack_all(2000 + 1000 * cycle, f"c{cycle}")
+        pipe._maybe_compact(
+            MergeStats(batch_id=None, version=t.current_version())
+        )
+        commits = [c for c in t.history() if c.get("compaction")]
+        major = [c for c in commits if not c.get("minor")][-1]
+        assert len(major["buckets_rewritten"]) == 1, major
+        majored.extend(major["buckets_rewritten"])
+    assert sorted(majored) == [0, 1, 2, 3], majored  # round-robin coverage
+    got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in t.read().collect()}
+    for b, c in convs.items():
+        assert got[(c, 0)] == f"c3-{b}-1"
+
+
+def test_sharded_major_replay_matches_oracle(spark, tmp_path):
+    """Full replay with sharded majors ON equals the LWW oracle (sharding
+    changes only WHEN base rewrites happen, never table state)."""
+    from xgeo_spark.fixtures.generator import (
+        ChangeStreamConfig,
+        generate_change_events,
+        lww_oracle,
+        write_change_stream_parquet,
+    )
+    from xgeo_spark.streaming.pipeline import CDCIngestPipeline, IngestConfig
+
+    cfg = ChangeStreamConfig(n_events=8000, n_convs=80, seed=47, n_files=12)
+    feed = str(tmp_path / "feed")
+    write_change_stream_parquet(feed, cfg)
+    t = ParquetLakeTable(spark, str(tmp_path / "lake"))
+    pipe = CDCIngestPipeline(
+        spark, feed, t,
+        config=IngestConfig(n_buckets=8, lineage=False, compact_threshold=2,
+                            minor_compaction=True, major_every=2,
+                            major_shards=4),
+    )
+    pipe.run_batch_replay(files_per_batch=1)
+    majors = [c for c in t.history()
+              if c.get("compaction") and not c.get("minor")]
+    assert majors, "sharded cadence never fired a major"
+    assert all(len(c["buckets_rewritten"]) <= 2 for c in majors), majors
+    got = t.read().orderBy("conv_id", "turn_idx").toPandas().fillna("∅")
+    oracle = lww_oracle(generate_change_events(cfg))
+    assert got["text"].tolist() == oracle["text"].fillna("∅").tolist()

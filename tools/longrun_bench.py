@@ -210,7 +210,7 @@ def verify_final_state(spark, feed: str, table, workdir: str) -> dict:
           -- strip, functions/text.py); restate it so expected == stored
           SELECT conv_id, turn_idx, role,
                  CASE WHEN text IS NULL THEN NULL ELSE
-                   trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g'))
+                   trim(regexp_replace(nfc_normalize(text), '\\s+', ' ', 'g'))
                  END AS text,
                  tool, epoch_us(ts) AS ts_us, tool_meta
           FROM (

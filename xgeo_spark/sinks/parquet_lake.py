@@ -665,11 +665,26 @@ class ParquetLakeTable(LakeTable):
             default=0,
         )
 
+    def bucket_depths(self) -> dict[int, tuple[int, int]]:
+        """Per-bucket ``(raw_delta_count, run_count)`` from the manifest —
+        the per-bucket view of :meth:`raw_delta_depth` / :meth:`run_depth`,
+        so compaction triggers can decide bucket-by-bucket instead of on
+        global maxima (one cold bucket stuck below the fold threshold must
+        not force every trigger into a major)."""
+        m = self.manifest()
+        runs = set(m.get("run_files") or [])
+        out: dict[int, tuple[int, int]] = {}
+        for b, fl in (m.get("deltas") or {}).items():
+            nr = sum(1 for f in fl if f in runs)
+            out[int(b)] = (len(fl) - nr, nr)
+        return out
+
     def compact(
         self,
         cluster_by: str | None = None,
         max_rows_per_file: int | None = None,
         min_depth: int = 1,
+        buckets: list[int] | None = None,
     ) -> MergeStats:
         """Fold delta files into the base (mor -> read-optimized).
 
@@ -693,12 +708,23 @@ class ParquetLakeTable(LakeTable):
         stats recorded in ``file_stats``, this is what makes a
         time-bounded ``scan()`` prune at the FILE level on compacted
         data — without clustering every base file spans the table's whole
-        ts range and stats can exclude nothing."""
+        ts range and stats can exclude nothing.
+
+        ``buckets``: explicit bucket set to fold (a SHARDED major — the
+        caller bounds the rewrite to a slice of the table so the worst
+        compaction pause scales with shard size, not table size); buckets
+        with nothing stacked are skipped. Overrides ``min_depth``."""
         m = self.manifest()
         deltas: dict = m.get("deltas") or {}
-        touched = sorted(
-            int(b) for b, fl in deltas.items() if len(fl) >= max(1, min_depth)
-        )
+        if buckets is not None:
+            want = {int(b) for b in buckets}
+            touched = sorted(
+                int(b) for b, fl in deltas.items() if int(b) in want and fl
+            )
+        else:
+            touched = sorted(
+                int(b) for b, fl in deltas.items() if len(fl) >= max(1, min_depth)
+            )
         if not touched:
             return MergeStats(batch_id=None, skipped=True, version=m["version"])
         key_cols = m["key_cols"]
@@ -762,7 +788,9 @@ class ParquetLakeTable(LakeTable):
             raise
         return MergeStats(batch_id=None, version=version, buckets_touched=len(touched))
 
-    def compact_minor(self, min_depth: int = 1) -> MergeStats:
+    def compact_minor(
+        self, min_depth: int = 1, buckets: list[int] | None = None
+    ) -> MergeStats:
         """LSM-style MINOR compaction: fold each qualifying bucket's RAW
         delta stack (the per-batch appends) into one collapsed RUN file —
         without reading or rewriting the base. ``compact()`` is the major
@@ -796,9 +824,15 @@ class ParquetLakeTable(LakeTable):
         raw = {
             b: [f for f in fl if f not in run_files] for b, fl in deltas.items()
         }
-        touched = sorted(
-            int(b) for b, fl in raw.items() if len(fl) >= max(1, min_depth)
-        )
+        if buckets is not None:
+            want = {int(b) for b in buckets}
+            touched = sorted(
+                int(b) for b, fl in raw.items() if int(b) in want and fl
+            )
+        else:
+            touched = sorted(
+                int(b) for b, fl in raw.items() if len(fl) >= max(1, min_depth)
+            )
         if not touched:
             return MergeStats(batch_id=None, skipped=True, version=m["version"])
         key_cols = m["key_cols"]

@@ -66,6 +66,16 @@ class IngestConfig:
     # disk, best for read-dominated tables).
     minor_compaction: bool = True
     major_every: int = 4
+    # bound the MAJOR-compaction pause: at most ceil(n_buckets/major_shards)
+    # buckets are base-rewritten per trigger (highest run-depth first, ties
+    # rotated by version for round-robin fairness); buckets over the cap are
+    # minor-folded this cycle and majored in a later one. Worst pause then
+    # scales with shard size, not table size — at a 10^10-key base an
+    # unsharded major is a minutes-long stall. Run depth stays bounded at
+    # ~(major_every - 1 + major_shards) because deferred buckets gain
+    # priority each cycle they wait. 1 = unsharded (rewrite every ripe
+    # bucket at once, the pre-r4 cadence).
+    major_shards: int = 1
     # op-'P' partial images ("null means unchanged"): squashed into full
     # rows at ingest via a bucket-pruned read-modify-write
     # (operators/patch.py). Off by default — feeds without patches must
@@ -275,13 +285,37 @@ class CDCIngestPipeline:
                 # hot bucket must not force a rewrite of every cold bucket
                 self.table.compact(min_depth=threshold)
             return
-        if self.table.raw_delta_depth() >= threshold:
-            if self.table.run_depth() >= self.config.major_every - 1:
-                # the bucket has banked its quota of runs: fold base+runs+
-                # raw; min_depth=threshold keeps cold buckets untouched
-                self.table.compact(min_depth=threshold)
-            else:
-                self.table.compact_minor(min_depth=threshold)
+        # Per-BUCKET decisions (not global maxima): a cold bucket parked at
+        # major_every-1 runs but below the raw threshold must neither turn
+        # every trigger into a major (the global-run_depth pathology) nor
+        # drag untouched buckets into a fold. Each bucket that has banked
+        # `threshold` raw generations is due; of those, the ones that also
+        # banked their run quota get a MAJOR (base+runs+raw), the rest a
+        # MINOR (raw -> one run).
+        depths = self.table.bucket_depths()
+        due = [b for b, (raw, _) in depths.items() if raw >= threshold]
+        if not due:
+            return
+        ripe = [b for b in due if depths[b][1] >= self.config.major_every - 1]
+        shards = max(1, self.config.major_shards)
+        if ripe and shards > 1:
+            n_buckets = self.table.manifest()["n_buckets"]
+            cap = max(1, -(-n_buckets // shards))
+            if len(ripe) > cap:
+                # deepest run stacks first so deferred buckets gain priority
+                # every cycle they wait; version-rotated tiebreak keeps the
+                # selection round-robin when depths are uniform
+                cursor = self.table.current_version() % max(n_buckets, 1)
+                ripe = sorted(
+                    ripe,
+                    key=lambda b: (-depths[b][1], (b - cursor) % n_buckets),
+                )[:cap]
+        ripe_set = set(ripe)
+        minor_only = [b for b in due if b not in ripe_set]
+        if ripe:
+            self.table.compact(buckets=ripe)
+        if minor_only:
+            self.table.compact_minor(buckets=minor_only)
 
     def _apply_batch_single_job(
         self, good: DataFrame, batch_id: int | None, max_sv: int, n_bad: int

@@ -101,10 +101,16 @@ class MultiTableRouter:
                 # appending duplicates (the per-table merges already skip
                 # via batch_id; this makes the fan-out's third output leg
                 # obey the same recovery protocol).
-                dst = (
-                    os.path.join(self.unrouted_dir, f"batch_id={batch_id}")
+                # batch_id=None writes go to their own batch_id= subdir too
+                # (the Hive null-partition sentinel) so the directory stays
+                # uniformly one-level partitioned — mixing root-level JSON
+                # files with batch_id=N subdirs would break partition
+                # discovery for a reader doing spark.read.json(unrouted_dir).
+                dst = os.path.join(
+                    self.unrouted_dir,
+                    f"batch_id={batch_id}"
                     if batch_id is not None
-                    else self.unrouted_dir
+                    else "batch_id=__HIVE_DEFAULT_PARTITION__",
                 )
                 mode = "overwrite" if batch_id is not None else "append"
                 unrouted.write.mode(mode).json(dst)
