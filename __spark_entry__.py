@@ -77,6 +77,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from xgeo_spark.queries import QUERIES
+    from xgeo_spark.queries import LAZY_SQL, QUERIES
 
-    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
+    out = {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
+    # lazily-built oracles (VALUES-literal input pins — see queries.LAZY_SQL)
+    out.update({name: build() for name, build in LAZY_SQL.items()})
+    return out

@@ -15,7 +15,7 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod  # noqa: E402
-from xgeo_spark.queries import QUERIES, TABLES  # noqa: E402
+from xgeo_spark.queries import LAZY_SQL, QUERIES, TABLES  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_CORRECTNESS", "/root/testdata/sf0.01")
 
@@ -77,13 +77,19 @@ def _values_equal(a: pd.DataFrame, b: pd.DataFrame) -> bool:
     return True
 
 
-SQL_CASES = [n for n, (_f, s) in QUERIES.items() if s is not None]
-ROWS_ONLY_CASES = [n for n, (_f, s) in QUERIES.items() if s is None]
+SQL_CASES = [n for n, (_f, s) in QUERIES.items() if s is not None] + sorted(
+    LAZY_SQL
+)
+ROWS_ONLY_CASES = [
+    n for n, (_f, s) in QUERIES.items() if s is None and n not in LAZY_SQL
+]
 
 
 @pytest.mark.parametrize("name", SQL_CASES)
 def test_query_matches_oracle(spark, duck, name):
     fn, sql = QUERIES[name]
+    if sql is None:
+        sql = LAZY_SQL[name]()
     got = fn(spark, SF_DIR).toPandas()
     exp = duck.execute(sql).df()
     assert sorted(got.columns) == sorted(exp.columns), (

@@ -166,9 +166,13 @@ def test_concurrent_writer_conflict_detected(spark, tmp_path):
     stale = b.manifest()  # b's view before a's next commit
     a.merge(_batch(spark, 10, {0: "winner"}), batch_id=1)
 
+    # a PERMANENTLY stale manifest view (mocked) exhausts the optimistic
+    # retries and surfaces the conflict; max_commit_retries=1 keeps the
+    # doomed re-merge loop short
     with mock.patch.object(b, "manifest", return_value=stale):
         with pytest.raises(CommitConflictError):
-            b.merge(_batch(spark, 20, {0: "loser"}), batch_id=1)
+            b.merge(_batch(spark, 20, {0: "loser"}), batch_id=1,
+                    max_commit_retries=1)
 
     # winner's state intact, loser's commit absent
     assert a.current_version() == 2

@@ -1203,6 +1203,69 @@ def cdc_replay_small(spark, sf_dir):
     return table.read().orderBy("conv_id", "turn_idx")
 
 
+def flagship_oracle_sql() -> str:
+    """Independent DuckDB restatement of ``cdc_replay_small``.
+
+    The INPUT is pinned by the deterministic generator (seed=42; pandas/
+    numpy only — no Spark, no engine code) and inlined as a VALUES literal;
+    the TRANSFORMATION — multi-batch LWW fold under the engine's total
+    order (lsn DESC, ts DESC, op-rank DESC), delete filtering, and the
+    mid-stream schema evolution (tool_meta null on keys whose winner
+    predates the v2 cut) — is re-derived in SQL, never copied from engine
+    output. Equal-lsn ties are exact duplicate redeliveries by the
+    generator's contract, so the offset tiebreak cannot change values.
+
+    Built lazily (…oracle_sql() call time): inlining ~5k events costs a
+    ~2 MB SQL string and ~0.5 s of generation, which must not tax every
+    ``import xgeo_spark.queries``.
+    """
+    from xgeo_spark.fixtures.generator import (
+        ChangeStreamConfig,
+        generate_change_events,
+    )
+
+    cfg = ChangeStreamConfig(n_events=5000, n_convs=100, seed=42, n_files=4)
+    ev = generate_change_events(cfg)
+
+    def s(v):  # SQL string literal (standard quoting: '' escapes ')
+        return "'" + str(v).replace("'", "''") + "'" if isinstance(v, str) else "NULL"
+
+    rows = []
+    for r in ev.itertuples(index=False):
+        ts = (
+            f"TIMESTAMP '{r.ts.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+            if r.ts is not None and r.ts == r.ts
+            else "CAST(NULL AS TIMESTAMP)"
+        )
+        rows.append(
+            f"({r.lsn},{r.offset},{s(r.op)},{s(r.conv_id)},{r.turn_idx},"
+            f"{s(r.role)},{s(r.text)},{s(r.tool)},{ts},{s(r.tool_meta)})"
+        )
+    values = ",\n".join(rows)
+    return f"""
+WITH events AS (
+  SELECT CAST(lsn AS BIGINT) AS lsn, CAST(off AS BIGINT) AS off, op, conv_id,
+         CAST(turn_idx AS INTEGER) AS turn_idx, role, text, tool,
+         CAST(ts AS TIMESTAMP) AS ts, tool_meta
+  FROM (VALUES
+{values}
+  ) AS t(lsn, off, op, conv_id, turn_idx, role, text, tool, ts, tool_meta)
+)
+SELECT conv_id, turn_idx, role, text, tool, ts, tool_meta
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY conv_id, turn_idx
+    ORDER BY lsn DESC, ts DESC NULLS LAST,
+             CASE op WHEN 'D' THEN 2 WHEN 'U' THEN 1 ELSE 0 END DESC,
+             off DESC
+  ) AS rn
+  FROM events
+) w
+WHERE rn = 1 AND op <> 'D'
+ORDER BY conv_id, turn_idx
+"""
+
+
 def _build_events_lake(spark, sf_dir):
     """The shared rig for the CDC driver-gate queries: the driver's events
     table read as a deterministic change feed (lsn = event_id, key =
@@ -1869,6 +1932,8 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "geo_planar_ops": (geo_planar_ops, GEO_PLANAR_SQL),
     "geo_user_bounds": (geo_user_bounds, GEO_BOUNDS_SQL),
     "multimodal_decode": (multimodal_decode, _GOLDEN.get("multimodal_decode")),
+    # oracle built lazily (see LAZY_SQL below): the VALUES-literal input pin
+    # is ~2 MB and must not be constructed on every module import
     "cdc_replay_small": (cdc_replay_small, None),
     "cdc_apply_events": (cdc_apply_events, CDC_APPLY_SQL),
     "cdc_scan_window": (cdc_scan_window, CDC_SCAN_WINDOW_SQL),
@@ -1881,4 +1946,12 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "events_approx_users": (events_approx_users, _GOLDEN.get("events_approx_users")),
     "events_cube": (events_cube, EVENTS_CUBE_SQL),
     "events_pivot": (events_pivot, EVENTS_PIVOT_SQL),
+}
+
+# Oracles whose SQL text is expensive to build (input pinned as a VALUES
+# literal): constructed on demand by __spark_entry__.oracle_sql(), not at
+# import. Unlike GOLDEN_PINNED these are sf-independent (the flagship
+# stream is fixed by its own seed, not by the driver's scale factor).
+LAZY_SQL: dict[str, Callable[[], str]] = {
+    "cdc_replay_small": flagship_oracle_sql,
 }

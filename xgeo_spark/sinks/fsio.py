@@ -120,11 +120,15 @@ class HadoopFS:
         Rename-onto-existing semantics, verified empirically on this
         Hadoop build: both HDFS and LocalFileSystem return False without
         replacing the destination (the FileSystem#rename contract), so the
-        loser of a race is detected. On LocalFileSystem the dst-exists
-        check inside rename is not atomic with the rename itself — a
-        residual TOCTOU window that HDFS does not have; single-writer
-        deployments (one streaming driver per table, the supported
-        topology) never enter it.
+        loser of a race is detected.
+
+        On LOCAL paths the swap uses ``os.link`` instead of the Hadoop
+        rename: LocalFileSystem's dst-exists check is not atomic with its
+        rename (a TOCTOU window where two same-version committers can both
+        "succeed", the second silently overwriting the first), whereas
+        link(2) is an atomic create-if-absent — exactly one of N racing
+        writers wins, every loser gets EEXIST. HDFS needs no such detour:
+        its rename is atomic-no-overwrite server-side.
 
         SCOPE: this protocol is only correct on RENAME-ATOMIC filesystems
         (HDFS, file:, most POSIX-semantics stores). On S3A, rename is a
@@ -137,10 +141,33 @@ class HadoopFS:
         self.mkdirs(parent)
         tmp = f"{path}.tmp.{uuid.uuid4().hex}"
         self._write_stream(tmp, content.encode("utf-8"))
+        local_dst = self._local_path(path)
+        if local_dst is not None:
+            import os
+
+            try:
+                os.link(self._local_path(tmp), local_dst)
+            except FileExistsError:
+                raise FileExistsError(
+                    f"commit conflict: {path} already exists"
+                ) from None
+            finally:
+                self._fs.delete(self._p(tmp), False)
+            return
         dst = self._p(path)
         if self._fs.exists(dst) or not self._fs.rename(self._p(tmp), dst):
             self._fs.delete(self._p(tmp), False)
             raise FileExistsError(f"commit conflict: {path} already exists")
+
+    def _local_path(self, path: str) -> str | None:
+        """POSIX path when ``path`` lives on the local filesystem (bare
+        /p or file:/p URIs), else None."""
+        if path.startswith("/"):
+            return path
+        if path.startswith("file:"):
+            rest = path.split(":", 1)[1]
+            return "/" + rest.lstrip("/")
+        return None
 
     # ---------- mutation ----------
 

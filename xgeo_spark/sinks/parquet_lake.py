@@ -1081,6 +1081,47 @@ class ParquetLakeTable(LakeTable):
         stats_hints: dict | None = None,
         transform_deduped=None,
         post_write_stats=None,
+        max_commit_retries: int = 5,
+    ) -> MergeStats:
+        """Idempotent LWW merge with OPTIMISTIC-CONCURRENCY retry.
+
+        A writer that loses the manifest rename race (another writer
+        committed the version it computed) re-bases instead of failing:
+        the attempt's uuid-dir data files are deleted (inside the attempt),
+        the manifest is re-read, the batch_id idempotency check re-runs
+        against the WINNER's commit (a concurrently-committed duplicate of
+        this very batch turns the retry into a skip, never a double
+        apply), schema evolution re-diffs against the winner's schema, and
+        the merge re-executes at the next version. This is the Iceberg
+        commit model: conflict -> refresh -> reapply -> commit; after
+        ``max_commit_retries`` consecutive losses the conflict surfaces.
+        """
+        attempt = 0
+        while True:
+            try:
+                return self._merge_attempt(
+                    updates,
+                    batch_id=batch_id,
+                    offset_range=offset_range,
+                    touched_buckets=touched_buckets,
+                    stats_hints=stats_hints,
+                    transform_deduped=transform_deduped,
+                    post_write_stats=post_write_stats,
+                )
+            except CommitConflictError:
+                attempt += 1
+                if attempt > max_commit_retries:
+                    raise
+
+    def _merge_attempt(
+        self,
+        updates: DataFrame,
+        batch_id: int | None = None,
+        offset_range: tuple[int, int] | None = None,
+        touched_buckets: list[int] | None = None,
+        stats_hints: dict | None = None,
+        transform_deduped=None,
+        post_write_stats=None,
     ) -> MergeStats:
         m = self.manifest()
         last = m.get("last_batch_id")
