@@ -515,3 +515,100 @@ def test_webmercator_roundtrip_and_known_values(spark):
     sf = spark.createDataFrame([(60.0,)], ["lat"]).select(
         mercator_scale_factor(F.col("lat")).alias("s")).first()["s"]
     assert sf == pytest.approx(2.0, rel=1e-12)
+
+
+# ---- round-4 parity additions (planar area/length + radial/visvalingam) -----
+
+from xgeo_spark.functions.geo import (  # noqa: E402
+    planar_length,
+    planar_polygon_area,
+    planar_ring_area,
+    simplify_radial,
+    simplify_visvalingam,
+)
+
+
+def _ring(pts):
+    return pts + [pts[0]]  # close (GeoJSON contract)
+
+
+def test_planar_ring_area_signed(spark):
+    """orb/planar/area.go ringCentroidArea sign convention: CCW positive,
+    CW negative; unit square = 1 exactly (euclidean, not geodesic)."""
+    ccw = _pts(spark, _ring(_CCW_SQ))
+    cw = _pts(spark, _ring(list(reversed(_CCW_SQ))))
+    assert ccw.select(planar_ring_area(F.col("points")).alias("a")).first()["a"] == 1.0
+    assert cw.select(planar_ring_area(F.col("points")).alias("a")).first()["a"] == -1.0
+    # degenerate (< 4 vertices incl. closure) -> 0
+    deg = _pts(spark, [(0.0, 0.0), (1.0, 0.0), (0.0, 0.0)])
+    assert deg.select(planar_ring_area(F.col("points")).alias("a")).first()["a"] == 0.0
+
+
+def test_planar_polygon_area_with_hole(spark):
+    """|outer| - Σ|holes| (orb polygonCentroidArea): 2x2 square minus a
+    1x1 hole = 3, regardless of hole winding."""
+    outer = _ring([(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0)])
+    hole = _ring([(0.5, 0.5), (1.5, 0.5), (1.5, 1.5), (0.5, 1.5)])  # CCW hole
+    schema = T.ArrayType(
+        T.ArrayType(T.StructType([
+            T.StructField("lon", T.DoubleType()),
+            T.StructField("lat", T.DoubleType()),
+        ]))
+    )
+    df = spark.createDataFrame(
+        [([[{"lon": x, "lat": y} for x, y in r] for r in (outer, hole)],)],
+        T.StructType([T.StructField("rings", schema)]),
+    )
+    assert df.select(planar_polygon_area(F.col("rings")).alias("a")).first()["a"] == 3.0
+
+
+def test_planar_length_345(spark):
+    """Euclidean 3-4-5 triangle perimeter = 12 exactly."""
+    df = _pts(spark, _ring([(0.0, 0.0), (3.0, 0.0), (3.0, 4.0)]))
+    assert df.select(planar_length(F.col("points")).alias("l")).first()["l"] == 12.0
+    # single point / empty -> 0
+    one = _pts(spark, [(5.0, 5.0)])
+    assert one.select(planar_length(F.col("points")).alias("l")).first()["l"] == 0.0
+
+
+def test_simplify_radial_orb_semantics(spark):
+    """orb/simplify/radial.go: keep v0, then vertices strictly farther than
+    the threshold from the last KEPT vertex; append the final vertex if it
+    was dropped."""
+    pts = [(0.0, 0.0), (0.5, 0.0), (1.1, 0.0), (1.2, 0.0), (2.5, 0.0)]
+    df = _pts(spark, pts).withColumn("tol", F.lit(1.0))
+    out = df.select(simplify_radial(F.col("points"), F.col("tol")).alias("s")).first()["s"]
+    assert [(p["lon"], p["lat"]) for p in out] == [(0.0, 0.0), (1.1, 0.0), (2.5, 0.0)]
+
+    # final vertex dropped by distance -> appended anyway
+    tail = _pts(spark, [(0.0, 0.0), (0.5, 0.0), (0.9, 0.0)]).withColumn(
+        "tol", F.lit(1.0)
+    )
+    out2 = tail.select(simplify_radial(F.col("points"), F.col("tol")).alias("s")).first()["s"]
+    assert [(p["lon"], p["lat"]) for p in out2] == [(0.0, 0.0), (0.9, 0.0)]
+
+
+def test_simplify_visvalingam_orb_semantics(spark):
+    """orb/simplify/visvalingam.go VisvalingamThreshold: removes interior
+    vertices whose (doubled) effective triangle area <= 2*threshold, with
+    monotone area recomputation; endpoints always survive."""
+    pts = [(0.0, 0.0), (1.0, 0.1), (2.0, 0.0), (3.0, 1.0), (4.0, 0.0)]
+    # doubled areas: v1=0.2, v2=1.1, v3=2.0. threshold 0.15 -> 2t=0.3:
+    # v1 removed; v2 recomputes vs (0,0) to 2.0 (monotone) -> stops.
+    df = _pts(spark, pts).withColumn("tol", F.lit(0.15))
+    out = df.select(
+        simplify_visvalingam(F.col("points"), F.col("tol")).alias("s")
+    ).first()["s"]
+    assert [(p["lon"], p["lat"]) for p in out] == [
+        (0.0, 0.0), (2.0, 0.0), (3.0, 1.0), (4.0, 0.0)
+    ]
+    # huge threshold: only the endpoints survive
+    flat = df.withColumn("tol", F.lit(1e9)).select(
+        simplify_visvalingam(F.col("points"), F.col("tol")).alias("s")
+    ).first()["s"]
+    assert [(p["lon"], p["lat"]) for p in flat] == [(0.0, 0.0), (4.0, 0.0)]
+    # sub-threshold wiggle only: nothing removed
+    keep = df.withColumn("tol", F.lit(0.05)).select(
+        simplify_visvalingam(F.col("points"), F.col("tol")).alias("s")
+    ).first()["s"]
+    assert len(keep) == len(pts)

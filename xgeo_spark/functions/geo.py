@@ -502,6 +502,103 @@ def _dp_mask(arr: np.ndarray, tol: float) -> np.ndarray:
 
 
 @pandas_udf(_POINT_ARRAY)
+def simplify_radial(points: pd.Series, tolerance: pd.Series) -> pd.Series:
+    """Radial simplification over array<struct<lon,lat>> (reference
+    semantics: orb/simplify/radial.go — keep the first vertex, then every
+    vertex whose euclidean distance from the last KEPT vertex exceeds the
+    threshold; the final vertex is appended if it was dropped). O(n) per
+    row, numpy inner math."""
+
+    def _simp(pts, tol):
+        if pts is None:
+            return None
+        out = [{"lon": float(p["lon"]), "lat": float(p["lat"])} for p in pts]
+        if len(out) < 2 or tol is None:
+            return out
+        t2 = float(tol) * float(tol)
+        kept = [out[0]]
+        cur = 0
+        for i in range(1, len(out)):
+            dx = out[i]["lon"] - out[cur]["lon"]
+            dy = out[i]["lat"] - out[cur]["lat"]
+            if dx * dx + dy * dy > t2:
+                cur = i
+                kept.append(out[i])
+        if cur != len(out) - 1:
+            kept.append(out[-1])
+        return kept
+
+    return pd.Series(
+        [_simp(p, t) for p, t in zip(points, tolerance)], dtype=object
+    )
+
+
+def _visvalingam_keep(arr: np.ndarray, threshold: float) -> list[int]:
+    """Visvalingam-Whyatt threshold pass over an (N,2) array: repeatedly
+    remove the interior vertex with the smallest effective triangle area
+    while that (doubled) area is <= 2*threshold, recomputing neighbors'
+    areas monotonically (an area never reported smaller than one already
+    removed — orb/simplify/visvalingam.go semantics, incl. its
+    threshold*2 doubled-area comparison). Lazy-deletion heapq instead of
+    orb's custom update-heap; same removal order for distinct areas."""
+    import heapq
+
+    n = len(arr)
+    thr2 = 2.0 * threshold
+    prv = list(range(-1, n - 1))
+    nxt = list(range(1, n + 1))
+    alive = [True] * n
+
+    def tri(i1, i2, i3) -> float:
+        a, b, c = arr[i1], arr[i2], arr[i3]
+        return abs(
+            (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        )
+
+    area = [math.inf] * n
+    heap: list[tuple[float, int]] = []
+    for i in range(1, n - 1):
+        area[i] = tri(i - 1, i, i + 1)
+        heapq.heappush(heap, (area[i], i))
+    while heap:
+        a, i = heapq.heappop(heap)
+        if not alive[i] or a != area[i]:
+            continue  # stale lazy-deleted entry
+        if a > thr2:
+            break
+        alive[i] = False
+        p, x = prv[i], nxt[i]
+        nxt[p], prv[x] = x, p
+        for j in (p, x):
+            if 0 < j < n - 1 and alive[j]:
+                na = max(tri(prv[j], j, nxt[j]), a)  # monotone, as orb
+                area[j] = na
+                heapq.heappush(heap, (na, j))
+    return [i for i in range(n) if alive[i]]
+
+
+@pandas_udf(_POINT_ARRAY)
+def simplify_visvalingam(points: pd.Series, tolerance: pd.Series) -> pd.Series:
+    """Visvalingam-Whyatt simplification over array<struct<lon,lat>> with a
+    per-row area threshold in coordinate units² (reference surface:
+    orb/simplify/visvalingam.go VisvalingamThreshold). Endpoints always
+    survive; rows with < 3 points pass through."""
+
+    def _simp(pts, tol):
+        if pts is None:
+            return None
+        out = [{"lon": float(p["lon"]), "lat": float(p["lat"])} for p in pts]
+        if len(out) < 3 or tol is None:
+            return out
+        arr = np.asarray([[p["lon"], p["lat"]] for p in out], dtype=np.float64)
+        return [out[i] for i in _visvalingam_keep(arr, float(tol))]
+
+    return pd.Series(
+        [_simp(p, t) for p, t in zip(points, tolerance)], dtype=object
+    )
+
+
+@pandas_udf(_POINT_ARRAY)
 def simplify_dp(points: pd.Series, tolerance: pd.Series) -> pd.Series:
     """Douglas-Peucker line simplification over array<struct<lon,lat>> with
     a per-row tolerance in coordinate degrees (orb/simplify/douglas_peucker.go
@@ -573,6 +670,59 @@ def webmercator_inv_lat(y) -> Column:
 def mercator_scale_factor(lat) -> Column:
     """Mercator scale distortion at a latitude: 1/cos(lat)."""
     return F.lit(1.0) / F.cos(F.radians(lat))
+
+
+def planar_ring_area(ring: Column) -> Column:
+    """SIGNED euclidean shoelace area (coordinate units²) of a closed ring
+    given as array<struct<lon,lat>> — flat-earth sibling of the geodesic
+    ``signed_ring_area_m2`` (reference surface: orb/planar/area.go
+    ringCentroidArea; positive = counter-clockwise winding, same sign
+    convention). One aggregate over the edge list, pure column expression.
+    Degenerate rings (< 4 vertices incl. closure) -> 0.0."""
+    n = F.size(ring)
+    edges = F.sequence(F.lit(1), n - F.lit(1))
+
+    def _cross(acc, i):
+        p1 = F.element_at(ring, i)
+        p2 = F.element_at(ring, i + F.lit(1))
+        return acc + (p1["lon"] * p2["lat"] - p2["lon"] * p1["lat"])
+
+    return F.when(
+        n >= 4, F.aggregate(edges, F.lit(0.0), _cross) / F.lit(2.0)
+    ).otherwise(F.lit(0.0))
+
+
+def planar_polygon_area(rings: Column) -> Column:
+    """Euclidean polygon area with holes over array<array<struct<lon,lat>>>:
+    |outer| - Σ|holes| (orb/planar/area.go polygonCentroidArea convention —
+    polygon area is non-negative, hole winding ignored)."""
+    outer = F.abs(planar_ring_area(F.element_at(rings, 1)))
+    holes = F.aggregate(
+        F.slice(rings, 2, F.greatest(F.size(rings) - 1, F.lit(0))),
+        F.lit(0.0),
+        lambda acc, r: acc + F.abs(planar_ring_area(r)),
+    )
+    return outer - holes
+
+
+def planar_length(points: Column) -> Column:
+    """Euclidean length (coordinate units) of a linestring/ring given as
+    array<struct<lon,lat>> — flat-earth sibling of the geodesic
+    ``linestring_length_m`` (reference surface: orb/planar/length.go).
+    Pure column expression; < 2 vertices -> 0.0."""
+    n = F.size(points)
+    edges = F.sequence(F.lit(1), n - F.lit(1))
+
+    def _seg(acc, i):
+        p1 = F.element_at(points, i)
+        p2 = F.element_at(points, i + F.lit(1))
+        dx = p2["lon"] - p1["lon"]
+        dy = p2["lat"] - p1["lat"]
+        return acc + F.sqrt(dx * dx + dy * dy)
+
+    return F.when(n >= 2, F.aggregate(edges, F.lit(0.0), _seg)).otherwise(
+        F.lit(0.0)
+    )
 
 
 def ring_contains(ring: Column, lon, lat) -> Column:

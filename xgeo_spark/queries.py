@@ -1011,6 +1011,8 @@ def geo_planar_ops(spark, sf_dir):
     libm log/tan, so it is rounded to mm like the other libm columns."""
     from xgeo_spark.functions.geo import (
         planar_distance_from,
+        planar_length,
+        planar_ring_area,
         ring_contains,
         webmercator_x,
         webmercator_y,
@@ -1031,6 +1033,17 @@ def geo_planar_ops(spark, sf_dir):
             for x, y in _PLANAR_LINE
         ]
     )
+    # per-row closed triangle ring (CCW -> positive shoelace): the r4
+    # orb/planar/{area,length}.go parity columns. Vertices are exact binary
+    # fractions, so the shoelace fold is IEEE-exact cross-engine; the
+    # perimeter goes through sqrt and is rounded like the other libm cols.
+    d = (F.col("user_id") % 3 + 1).cast("double")
+    tri = F.array(
+        F.struct(F.col("lon").alias("lon"), F.col("lat").alias("lat")),
+        F.struct((F.col("lon") + d).alias("lon"), F.col("lat").alias("lat")),
+        F.struct(F.col("lon").alias("lon"), (F.col("lat") + d).alias("lat")),
+        F.struct(F.col("lon").alias("lon"), F.col("lat").alias("lat")),
+    )
     return (
         ev.select("user_id", lat.alias("lat"), lon.alias("lon"))
         .distinct()
@@ -1044,6 +1057,8 @@ def geo_planar_ops(spark, sf_dir):
             ).alias("dist_deg"),
             webmercator_x(F.col("lon")).alias("merc_x"),
             F.round(webmercator_y(F.col("lat")), 3).alias("merc_y_q"),
+            planar_ring_area(tri).alias("tri_area"),
+            F.round(planar_length(tri), 6).alias("tri_perim"),
         )
         .orderBy("user_id")
     )
@@ -1081,7 +1096,8 @@ GEO_PLANAR_SQL = f"""
 WITH u AS (
   SELECT DISTINCT user_id,
          CAST(user_id % 170 - 85 AS DOUBLE) + 0.5 AS lat,
-         CAST(user_id % 360 - 180 AS DOUBLE) + 0.25 AS lon
+         CAST(user_id % 360 - 180 AS DOUBLE) + 0.25 AS lon,
+         CAST(user_id % 3 + 1 AS DOUBLE) AS d
   FROM events)
 SELECT user_id, lat, lon,
        {_IN_POLY_SQL} AS in_poly,
@@ -1089,7 +1105,14 @@ SELECT user_id, lat, lon,
        lon * (6378137.0 * PI() / 180.0) AS merc_x,
        ROUND(GREATEST(-6378137.0 * PI(),
                       LEAST(LN(TAN((90.0 + lat) * PI() / 360.0)) * 6378137.0,
-                            6378137.0 * PI())), 3) AS merc_y_q
+                            6378137.0 * PI())), 3) AS merc_y_q,
+       -- shoelace over the closed triangle (lon,lat)->(lon+d,lat)->
+       -- (lon,lat+d), same left-to-right edge fold as the engine's
+       -- aggregate; all vertices are exact binary fractions -> IEEE-exact
+       ((lon*lat - (lon+d)*lat)
+        + ((lon+d)*(lat+d) - lon*lat)
+        + (lon*lat - lon*(lat+d))) / 2.0 AS tri_area,
+       ROUND(d + SQRT(d*d + d*d) + d, 6) AS tri_perim
 FROM u ORDER BY user_id
 """
 
