@@ -128,3 +128,50 @@ def test_env_var_selects_reliable_checkpoints(spark, tmp_path, monkeypatch):
         (3, 3), (3, 7), (3, 9)
     }
     assert any(fs for _, _, fs in os.walk(ckpt)), "env-var path not taken"
+
+
+def test_session_checkpoint_root_reaches_cluster_path(spark, tmp_path, monkeypatch):
+    """r4 wiring: with NO env var and NO explicit param, a session-level
+    checkpoint root (what the CLI's --checkpoint-dir sets through
+    IngestConfig.checkpoint_dir) flips connected_components onto reliable
+    checkpoints — same output, storage-backed lineage."""
+    import os
+
+    monkeypatch.delenv("XGEO_CHECKPOINT_DIR", raising=False)
+    from xgeo_spark.queries import emb_dup_clusters
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_SF_DIR_CORRECTNESS", "/root/testdata/sf0.01"
+    )
+    before = {
+        (r["cluster_id"], r["member_id"])
+        for r in emb_dup_clusters(spark, sf_dir).collect()
+    }
+    ckpt = str(tmp_path / "session_ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    after = {
+        (r["cluster_id"], r["member_id"])
+        for r in emb_dup_clusters(spark, sf_dir).collect()
+    }
+    assert after == before and before
+    assert any(fs for _, _, fs in os.walk(ckpt)), (
+        "session checkpoint root was not used"
+    )
+
+
+def test_pipeline_config_sets_session_checkpoint_dir(spark, tmp_path):
+    """IngestConfig.checkpoint_dir (the CLI --checkpoint-dir/reliable
+    wiring) lands in sc.setCheckpointDir on pipeline construction."""
+    from xgeo_spark.sinks.parquet_lake import ParquetLakeTable
+    from xgeo_spark.streaming.pipeline import CDCIngestPipeline, IngestConfig
+
+    ckpt = str(tmp_path / "cfg_ckpt")
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    t = ParquetLakeTable(spark, str(tmp_path / "lake"))
+    CDCIngestPipeline(
+        spark, str(feed), t,
+        config=IngestConfig(n_buckets=4, lineage=False, checkpoint_dir=ckpt),
+    )
+    got = spark.sparkContext.getCheckpointDir()
+    assert got is not None and ckpt.split("/")[-1] in str(got)

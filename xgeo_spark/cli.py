@@ -80,6 +80,14 @@ def main(argv: list[str] | None = None) -> int:
             lineage=args.lineage_dir is not None,
             quarantine_dir=args.quarantine_dir,
             enable_patches=args.enable_patches,
+            # reliable-checkpoint root for iterative operators on this
+            # session (components fixpoint rounds) — a subdir so it can't
+            # collide with Structured Streaming's offsets/commits layout
+            checkpoint_dir=(
+                f"{args.checkpoint_dir.rstrip('/')}/reliable"
+                if args.checkpoint_dir
+                else None
+            ),
         ),
     )
 

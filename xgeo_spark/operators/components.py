@@ -66,7 +66,12 @@ def connected_components(
 
     ``checkpoint_dir`` (default: the ``XGEO_CHECKPOINT_DIR`` env var)
     selects reliable per-round checkpoints — REQUIRED on a real cluster,
-    see module doc. Unset falls back to executor-local lineage truncation.
+    see module doc. When neither is given but the session already HAS a
+    checkpoint dir (set by the CLI's --checkpoint-dir via
+    IngestConfig.checkpoint_dir, or by any caller of
+    ``sc.setCheckpointDir``), reliable checkpoints are used there — the
+    cluster-safe path needs no env var. Only with no checkpoint root at
+    all does it fall back to executor-local lineage truncation.
 
     Raises RuntimeError if the propagation has not reached a fixpoint
     after ``max_iter`` rounds (diameter > max_iter).
@@ -74,15 +79,18 @@ def connected_components(
     import os
 
     checkpoint_dir = checkpoint_dir or os.environ.get("XGEO_CHECKPOINT_DIR")
+    sc = edges.sparkSession.sparkContext
     if checkpoint_dir:
-        sc = edges.sparkSession.sparkContext
         if sc.getCheckpointDir() is None or not str(
             sc.getCheckpointDir()
         ).startswith(checkpoint_dir.rstrip("/")):
             sc.setCheckpointDir(checkpoint_dir)
+        reliable = True
+    else:
+        reliable = sc.getCheckpointDir() is not None
 
     def _truncate(df: DataFrame, eager: bool) -> DataFrame:
-        if checkpoint_dir:
+        if reliable:
             return df.checkpoint(eager=eager)
         return df.localCheckpoint(eager=eager)
 

@@ -81,6 +81,12 @@ class IngestConfig:
     # (operators/patch.py). Off by default — feeds without patches must
     # not pay the resolver's split joins.
     enable_patches: bool = False
+    # RELIABLE-checkpoint root (sc.setCheckpointDir) for iterative
+    # operators sharing this session (operators/components.py fixpoint
+    # rounds): executor loss with localCheckpoint lineage is fatal on a
+    # real cluster, so the CLI wires --checkpoint-dir/reliable here and
+    # connected_components picks the session root up automatically.
+    checkpoint_dir: str | None = None
     # AQE re-plans every exchange at runtime — pure driver latency for THIS
     # pipeline's merge, whose physical plan is static (explicit repartition
     # on _bucket, no joins; skew is handled by bucket hashing + the salted
@@ -108,6 +114,8 @@ class CDCIngestPipeline:
         )
         if not self.config.adaptive:
             spark.conf.set("spark.sql.adaptive.enabled", "false")
+        if self.config.checkpoint_dir:
+            spark.sparkContext.setCheckpointDir(self.config.checkpoint_dir)
         if not table.exists():
             create_kwargs = {"n_buckets": self.config.n_buckets}
             from xgeo_spark.sinks.parquet_lake import ParquetLakeTable
