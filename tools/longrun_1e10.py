@@ -108,6 +108,25 @@ class OracleLane:
     def super_path(self) -> str:
         return os.path.join(self.winners_dir, "super.parquet")
 
+    def folded_path(self) -> str:
+        return os.path.join(self.winners_dir, "folded.json")
+
+    def folded_waves(self) -> set[int]:
+        """Waves whose winners are already folded into the super table —
+        the resume-time authority for 'this wave's events are accounted
+        for even though its wave file is gone'."""
+        if not os.path.exists(self.folded_path()):
+            return set()
+        with open(self.folded_path()) as f:
+            return set(json.load(f))
+
+    def _record_folded(self, waves: list[int]) -> None:
+        done = sorted(self.folded_waves() | set(waves))
+        tmp = self.folded_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(done, f)
+        os.replace(tmp, self.folded_path())
+
     def submit_wave(self, wave: int, feed_files: list[str]) -> None:
         self.pending.append(
             self.pool.submit(self._fold_wave, wave, feed_files)
@@ -137,6 +156,9 @@ class OracleLane:
             if has_meta
             else f"SELECT *, CAST(NULL AS VARCHAR) AS tool_meta FROM {src}"
         )
+        # write-tmp-then-rename: a crash mid-COPY must never leave a
+        # truncated parquet at the final name (resume trusts file presence)
+        tmp = self.wave_path(wave) + ".tmp"
         self.con.execute(
             f"""
             COPY (
@@ -146,9 +168,10 @@ class OracleLane:
                 SELECT conv_id AS mc, turn_idx AS mt, max(lsn) AS ml
                 FROM ({inner}) GROUP BY 1, 2
               ) m ON e.conv_id = m.mc AND e.turn_idx = m.mt AND e.lsn = m.ml
-            ) TO '{self.wave_path(wave)}' (FORMAT PARQUET)
+            ) TO '{tmp}' (FORMAT PARQUET)
             """
         )
+        os.replace(tmp, self.wave_path(wave))
         for f in feed_files:
             os.remove(f)
         self.timings.append(
@@ -180,10 +203,16 @@ class OracleLane:
             ) TO '{tmp}' (FORMAT PARQUET)
             """
         )
+        os.replace(tmp, self.super_path())
+        # ledger BEFORE deleting the inputs: a crash between replace and
+        # remove leaves extra wave files (harmless — refolding a wave
+        # already in the super is an idempotent argmax), never missing data
+        self._record_folded(
+            [w for w in waves if self.wave_path(w) in inputs]
+        )
         for f in inputs:
             if f != self.super_path():
                 os.remove(f)
-        os.replace(tmp, self.super_path())
         self.timings.append(
             {"kind": "super_fold", "n_inputs": len(inputs),
              "s": round(time.perf_counter() - t0, 1)}
@@ -277,6 +306,23 @@ def main():
             )
         )
         return paths, time.perf_counter() - t0
+
+    if args.resume and start_wave > 0:
+        # REPAIR: a crash can kill the oracle lane behind the apply loop —
+        # a wave may be applied (wave record present) yet have neither an
+        # intact winners file nor membership in the super's folded ledger
+        # (its fold was queued or mid-write; wave folds are tmp+rename so a
+        # truncated file can never masquerade as done). The feed is
+        # deterministic, so such waves are re-generated and re-folded;
+        # re-folding a wave already in the super is an idempotent argmax.
+        folded = lane.folded_waves()
+        for w in range(start_wave):
+            if w in folded or os.path.exists(lane.wave_path(w)):
+                continue
+            emit({"kind": "repair_wave_fold", "wave": w})
+            paths, _ = gen_wave(w)
+            lane.submit_wave(w, paths)
+        lane.drain()
 
     warmed = args.resume and start_wave > 0
     gen_fut = gen_pool.submit(gen_wave, start_wave)
