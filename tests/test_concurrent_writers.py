@@ -120,3 +120,55 @@ def test_two_writers_same_batch_sequence_exactly_once(spark, tmp_path):
     applied = [c["batch_id"] for c in fresh.history()
                if c.get("batch_id") is not None]
     assert sorted(applied) == [0, 1, 2, 3], applied  # exactly once each
+
+
+def test_retry_rebases_on_winners_schema_evolution(spark, tmp_path):
+    """A loser whose attempt was computed against a pre-evolution manifest
+    must re-diff schema against the WINNER's evolved schema on retry: the
+    final table carries the winner's added column, with nulls for the
+    loser's rows — never a dropped column or a stale-schema manifest."""
+    from unittest import mock
+
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "lake")
+    a = ParquetLakeTable(spark, root)
+    a.create(TRANSCRIPT_SCHEMA, KEY_COLS, n_buckets=4)
+    a.merge(_batch(spark, 0, "conv-s", {0: "base"}), batch_id=None)
+
+    b = ParquetLakeTable(spark, root)
+    stale = b.manifest()  # v1 schema, version 1
+
+    # the winner evolves the schema (adds tool_meta)
+    v2 = _batch(spark, 10, "conv-s", {1: "winner"}).withColumn(
+        "tool_meta", F.lit('{"k":1}')
+    )
+    a.merge(v2, batch_id=None)
+
+    # loser: first manifest() read is stale, the retry re-reads for real
+    real_manifest = b.manifest
+    calls = {"n": 0}
+
+    def flaky_manifest():
+        calls["n"] += 1
+        return stale if calls["n"] == 1 else real_manifest()
+
+    with mock.patch.object(b, "manifest", side_effect=flaky_manifest):
+        b.merge(_batch(spark, 20, "conv-s", {2: "loser-v1"}), batch_id=None)
+
+    fresh = ParquetLakeTable(spark, root)
+    got = {r["turn_idx"]: (r["text"], r["tool_meta"])
+           for r in fresh.read().collect()}
+    assert got == {
+        0: ("base", None),
+        1: ("winner", '{"k":1}'),
+        2: ("loser-v1", None),
+    }
+    # manifest schema retains the winner's evolution
+    import json as _json
+
+    schema_cols = [
+        f["name"]
+        for f in _json.loads(fresh.manifest()["schema"])["fields"]
+    ]
+    assert "tool_meta" in schema_cols
