@@ -435,3 +435,53 @@ def test_sharded_major_replay_matches_oracle(spark, tmp_path):
     got = t.read().orderBy("conv_id", "turn_idx").toPandas().fillna("∅")
     oracle = lww_oracle(generate_change_events(cfg))
     assert got["text"].tolist() == oracle["text"].fillna("∅").tolist()
+
+
+# ---- round-4: manifest-diff expiry + orphan sweep ----------------------------
+
+
+def test_expire_preserves_partially_referenced_version_dir(table, spark):
+    """A sharded major can keep SOME of an old version's delta files alive
+    after that version's manifest expires: expiry must delete only the
+    dropped files, never the still-referenced siblings in the same
+    attempt dir."""
+    # stack more deltas then compact so old delta generations become
+    # unreferenced while the new base lives in its own dir
+    table.merge(_batch(spark, 30, {1: "v4-b"}), batch_id=3)
+    table.compact()
+    before = table.read().orderBy("conv_id", "turn_idx").toPandas()
+    res = table.expire_versions(keep_last=1)
+    assert res["data_files_removed"] + res["data_dirs_removed"] > 0
+    after = table.read().orderBy("conv_id", "turn_idx").toPandas()
+    pd.testing.assert_frame_equal(before, after)
+    # every file the kept manifest references still exists
+    kept = table._manifest_refs(table.current_version())
+    for rel in kept:
+        assert table.fs.exists(os.path.join(table.root, rel)), rel
+
+
+def test_expiry_skips_unreferenced_window_orphans_sweep_collects(table):
+    """A crashed/losing commit attempt leaves a data dir no manifest
+    references. Manifest-diff expiry must NOT touch it (it is invisible
+    to the diff, and listing for it is exactly the cost expiry avoids);
+    remove_orphan_files is the action that sweeps it. An in-flight
+    attempt dir (version > current) survives both."""
+    import uuid as _uuid
+
+    current = table.current_version()
+    data = os.path.join(table.root, "data")
+    orphan = f"v{current:012d}-{_uuid.uuid4().hex[:8]}"
+    inflight = f"v{current + 5:012d}-{_uuid.uuid4().hex[:8]}"
+    for d in (orphan, inflight):
+        os.makedirs(os.path.join(data, d, "_bucket=0"))
+        with open(os.path.join(data, d, "_bucket=0", "part-0.parquet"), "w") as f:
+            f.write("junk")
+
+    table.expire_versions(keep_last=1)
+    assert os.path.isdir(os.path.join(data, orphan))  # diff can't see it
+    res = table.remove_orphan_files()
+    assert res["orphan_dirs_removed"] >= 1
+    assert not os.path.exists(os.path.join(data, orphan))
+    assert os.path.isdir(os.path.join(data, inflight))  # never swept
+    # table still fully readable
+    assert table.read().count() == 3

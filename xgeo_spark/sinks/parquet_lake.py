@@ -957,14 +957,47 @@ class ParquetLakeTable(LakeTable):
             batch_id=None, version=version, buckets_touched=len(written)
         )
 
-    def expire_versions(self, keep_last: int = 2) -> dict:
-        """Snapshot expiry (Iceberg ``expire_snapshots`` analogue).
+    def _manifest_refs(self, version: int) -> set[str]:
+        """Every data-file path (root-relative) a manifest references."""
+        mv = self._load_manifest(version)
+        out: set[str] = set()
+        for coll in (mv["buckets"], mv.get("deltas") or {}):
+            for fl in coll.values():
+                out.update(fl)
+        return out
 
-        Keeps the newest ``keep_last`` manifests; deletes older manifests
-        and any data file no retained manifest references. Safe order:
-        manifests are removed BEFORE their now-orphaned data files, so a
-        crash mid-expiry never leaves a retained manifest pointing at
-        deleted data."""
+    @staticmethod
+    def _vdir_of(rel: str) -> str | None:
+        """Top-level attempt dir of a root-relative data path
+        (``data/v000...-uuid/_bucket=K/part...parquet`` -> ``v000...-uuid``)."""
+        parts = rel.split("/")
+        if len(parts) >= 3 and parts[0] == "data":
+            return parts[1]
+        return None
+
+    def expire_versions(self, keep_last: int = 2) -> dict:
+        """Snapshot expiry (Iceberg ``expire_snapshots`` analogue),
+        manifest-diff based: deletable = (files referenced by the dropped
+        manifests) minus (files referenced by the kept ones). No listing
+        of the data tree at all — O(dropped manifests + deleted files)
+        driver calls instead of O(table files), which is what lets expiry
+        ride the ingest cadence at a 10^10-key table without stalling a
+        batch (a recursive data listing costs one py4j round trip per
+        file and grows with the table, not with the expired set).
+
+        An attempt dir nothing retained references is removed with ONE
+        recursive delete (covering any never-committed stragglers in the
+        same dir); partially-referenced dirs (a sharded major keeps some
+        of an old version's delta files alive) fall back to per-file
+        deletes. Files referenced by NO manifest at all — crashed or
+        losing commit attempts inside the retained window — are invisible
+        to the manifest diff by design; ``remove_orphan_files`` is the
+        separate full-listing maintenance action that sweeps them, same
+        split Iceberg makes.
+
+        Safe order: manifests are removed BEFORE their now-orphaned data
+        files, so a crash mid-expiry never leaves a retained manifest
+        pointing at deleted data."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         current = self.current_version()
@@ -972,35 +1005,100 @@ class ParquetLakeTable(LakeTable):
         keep = [v for v in versions if v > current - keep_last]
         drop = [v for v in versions if v <= current - keep_last]
 
-        referenced: set[str] = set()
+        kept_refs: set[str] = set()
         for v in keep:
-            mv = self._load_manifest(v)
-            for coll in (mv["buckets"], mv.get("deltas") or {}):
-                for fl in coll.values():
-                    referenced.update(fl)
+            kept_refs |= self._manifest_refs(v)
+        doomed: set[str] = set()
+        for v in drop:
+            doomed |= self._manifest_refs(v)
+        doomed -= kept_refs
+        kept_vdirs = {self._vdir_of(r) for r in kept_refs}
 
         for v in drop:
             self.fs.delete(self._manifest_path(v))
 
         removed_files = 0
-        data_root = posixpath.join(self.root, "data")
-        seen_dirs: set[str] = set()
-        for rel in self.fs.list_files_recursive(data_root):
-            if rel.endswith(".parquet") and posixpath.join("data", rel) not in referenced:
-                self.fs.delete(posixpath.join(data_root, rel))
-                removed_files += 1
-            seen_dirs.add(posixpath.dirname(rel))
-        # prune now-empty bucket/version dirs (deepest first)
-        for d in sorted(seen_dirs, key=lambda s: -s.count("/")):
-            cur = d
-            while cur not in ("", "."):
-                if not self.fs.delete_if_empty_dir(posixpath.join(data_root, cur)):
-                    break
-                cur = posixpath.dirname(cur)
+        removed_dirs = 0
+        by_vdir: dict[str | None, list[str]] = {}
+        for rel in doomed:
+            by_vdir.setdefault(self._vdir_of(rel), []).append(rel)
+        for vd, rels in sorted(by_vdir.items(), key=lambda kv: str(kv[0])):
+            if vd is not None and vd not in kept_vdirs:
+                if self.fs.delete(
+                    posixpath.join(self.root, "data", vd), recursive=True
+                ):
+                    removed_files += len(rels)
+                    removed_dirs += 1
+                continue
+            touched: set[str] = set()
+            for rel in sorted(rels):
+                if self.fs.delete(posixpath.join(self.root, rel)):
+                    removed_files += 1
+                touched.add(posixpath.dirname(rel))
+            # prune now-empty bucket/version dirs (deepest first)
+            for d in sorted(touched, key=lambda s: -s.count("/")):
+                cur = d
+                while cur not in ("", ".", "data"):
+                    if not self.fs.delete_if_empty_dir(
+                        posixpath.join(self.root, cur)
+                    ):
+                        break
+                    cur = posixpath.dirname(cur)
         return {
             "versions_expired": drop,
             "versions_kept": keep,
             "data_files_removed": removed_files,
+            "data_dirs_removed": removed_dirs,
+        }
+
+    def remove_orphan_files(self) -> dict:
+        """Full-listing orphan sweep (Iceberg ``remove_orphan_files``
+        analogue): deletes data files referenced by NO retained manifest —
+        the residue of crashed or losing commit attempts. This is the
+        O(table files) walk ``expire_versions`` deliberately avoids, so it
+        is a standalone maintenance action, never part of the per-batch
+        ingest cadence. Only attempt dirs at versions <= current are
+        considered: an in-flight writer's dir (version current+1 or
+        higher) is never swept."""
+        current = self.current_version()
+        referenced: set[str] = set()
+        for v in self._list_versions():
+            referenced |= self._manifest_refs(v)
+        ref_vdirs = {self._vdir_of(r) for r in referenced}
+
+        data_root = posixpath.join(self.root, "data")
+        removed_files = 0
+        removed_dirs = 0
+        for vd in self.fs.list_names(data_root):
+            m = re.match(r"v(\d{12})-", vd)
+            if not m or int(m.group(1)) > current:
+                continue
+            if vd not in ref_vdirs:
+                if self.fs.delete(
+                    posixpath.join(data_root, vd), recursive=True
+                ):
+                    removed_dirs += 1
+                continue
+            touched: set[str] = set()
+            for rel in self.fs.list_files_recursive(
+                posixpath.join(data_root, vd)
+            ):
+                full = posixpath.join("data", vd, rel)
+                if rel.endswith(".parquet") and full not in referenced:
+                    self.fs.delete(posixpath.join(data_root, vd, rel))
+                    removed_files += 1
+                touched.add(posixpath.dirname(posixpath.join(vd, rel)))
+            for d in sorted(touched, key=lambda s: -s.count("/")):
+                cur = d
+                while cur not in ("", "."):
+                    if not self.fs.delete_if_empty_dir(
+                        posixpath.join(data_root, cur)
+                    ):
+                        break
+                    cur = posixpath.dirname(cur)
+        return {
+            "orphan_files_removed": removed_files,
+            "orphan_dirs_removed": removed_dirs,
         }
 
     # ---------- merge ----------
