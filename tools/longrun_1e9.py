@@ -62,6 +62,10 @@ def parse_args():
     p.add_argument("--expire-every", type=int, default=10)
     p.add_argument("--keep-last", type=int, default=4)
     p.add_argument("--major-every", type=int, default=4)
+    p.add_argument("--major-shards", type=int, default=1,
+                   help="shard major compactions: each major rewrites only "
+                        "1/N of the base buckets (round-robin), bounding the "
+                        "worst pause by shard size instead of table size")
     p.add_argument("--workdir", default="/tmp/xgeo_1e9")
     p.add_argument("--out", default=None)
     p.add_argument("--parallelism", type=int, default=32)
@@ -133,6 +137,7 @@ def main():
             n_buckets=32, normalize_text=True, adaptive=False,
             compact_threshold=8, minor_compaction=True,
             major_every=args.major_every,
+            major_shards=args.major_shards,
         ),
     )
 
@@ -278,6 +283,7 @@ def main():
         "parallelism": args.parallelism,
         "minor_compaction": True,
         "major_every": args.major_every,
+        "major_shards": args.major_shards,
         "deciles": deciles,
         "last_over_first_sum": round(
             deciles[-1]["ev_s_sum"] / deciles[0]["ev_s_sum"], 3),

@@ -62,6 +62,10 @@ def parse_args():
                    help="two-level LSM cadence: minor folds at the "
                         "threshold, major every --major-every runs")
     p.add_argument("--major-every", type=int, default=4)
+    p.add_argument("--major-shards", type=int, default=1,
+                   help="shard major compactions: each major rewrites only "
+                        "1/N of the base buckets (round-robin), bounding the "
+                        "worst pause by shard size instead of table size")
     return p.parse_args()
 
 
@@ -102,6 +106,7 @@ def replay(spark, args, feed: str) -> tuple[list[dict], object]:
     cfg = IngestConfig(
         n_buckets=32, normalize_text=True, adaptive=False, compact_threshold=8,
         minor_compaction=args.minor_compaction, major_every=args.major_every,
+        major_shards=args.major_shards,
     )
     pipe = CDCIngestPipeline(spark, feed, table, lineage_path=lineage, config=cfg)
 
@@ -284,6 +289,7 @@ def main():
         "compact_threshold": 8,
         "minor_compaction": args.minor_compaction,
         "major_every": args.major_every if args.minor_compaction else None,
+        "major_shards": args.major_shards if args.minor_compaction else None,
         **decile_summary(batches),
         "final_delta_depth": batches[-1]["delta_depth"],
         "final_manifest_bytes": batches[-1]["manifest_bytes"],
