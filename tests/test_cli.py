@@ -112,3 +112,41 @@ def test_cli_patch_feed_end_to_end(spark, tmp_path, capsys):
     )
     expected = fold_oracle(generate_change_events(cfg))
     assert got["text"].fillna("∅").tolist() == expected["text"].fillna("∅").tolist()
+
+
+def test_cli_maintenance_actions(spark, tmp_path, capsys):
+    """--maintenance runs one table-maintenance action (no feed needed):
+    compact folds the delta stack, expire GCs snapshots manifest-diff
+    style, orphans sweeps unreferenced attempt dirs."""
+    cfg = ChangeStreamConfig(n_events=2000, n_convs=40, seed=11, n_files=2)
+    feed = str(tmp_path / "feed")
+    write_change_stream(feed, cfg)
+    lake = str(tmp_path / "lake")
+    assert main(["--feed-dir", feed, "--lake-dir", lake, "--mode", "batch",
+                 "--files-per-batch", "1", "--n-buckets", "4"]) == 0
+    capsys.readouterr()
+
+    for action, key in [("compact", "version"), ("expire", "versions_kept"),
+                        ("orphans", "orphan_files_removed")]:
+        rc = main(["--lake-dir", lake, "--maintenance", action,
+                   "--keep-last", "1"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["action"] == action and key in out, out
+
+    # table unchanged by maintenance
+    from xgeo_spark.sinks.parquet_lake import ParquetLakeTable
+
+    got = (ParquetLakeTable(spark, lake).read()
+           .orderBy("conv_id", "turn_idx").toPandas())
+    expected = lww_oracle(generate_change_events(cfg))
+    assert got["text"].fillna("∅").tolist() == expected["text"].fillna("∅").tolist()
+
+
+def test_maintenance_does_not_require_feed_dir():
+    p = build_parser()
+    args = p.parse_args(["--lake-dir", "/l", "--maintenance", "expire"])
+    assert args.maintenance == "expire" and args.feed_dir is None
+    # ingest without a feed is still rejected (exercised in main())
+    rc = main(["--lake-dir", "/l", "--mode", "batch"])
+    assert rc == 2

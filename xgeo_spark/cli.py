@@ -25,8 +25,17 @@ import sys
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="xgeo-spark-ingest", description=__doc__)
-    p.add_argument("--feed-dir", required=True, help="change-feed directory (offset-ordered .jsonl[.gz]/.parquet)")
+    p.add_argument("--feed-dir", default=None, help="change-feed directory (offset-ordered .jsonl[.gz]/.parquet); required unless --maintenance")
     p.add_argument("--lake-dir", required=True, help="lake table root")
+    p.add_argument("--maintenance", choices=["compact", "expire", "orphans"],
+                   default=None,
+                   help="run ONE table-maintenance action instead of "
+                        "ingesting: compact (fold delta generations), "
+                        "expire (manifest-diff snapshot expiry, "
+                        "--keep-last), orphans (full-listing sweep of "
+                        "crashed/losing commit attempts)")
+    p.add_argument("--keep-last", type=int, default=4,
+                   help="snapshots retained by --maintenance expire")
     p.add_argument("--mode", choices=["batch", "stream"], default="stream")
     p.add_argument("--checkpoint-dir", default=None, help="required for --mode stream")
     p.add_argument("--lineage-dir", default=None)
@@ -50,7 +59,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
-    if args.mode == "stream" and not args.checkpoint_dir:
+    if not args.maintenance and not args.feed_dir:
+        print("--feed-dir is required unless --maintenance", file=sys.stderr)
+        return 2
+    if args.mode == "stream" and not args.maintenance and not args.checkpoint_dir:
         print("--checkpoint-dir is required for --mode stream", file=sys.stderr)
         return 2
 
@@ -68,6 +80,17 @@ def main(argv: list[str] | None = None) -> int:
         spark = SparkSession.builder.appName("xgeo-ingest").getOrCreate()
 
     table = ParquetLakeTable(spark, args.lake_dir)
+
+    if args.maintenance:
+        if args.maintenance == "compact":
+            out = {"action": "compact", **table.compact().as_row()}
+        elif args.maintenance == "expire":
+            out = {"action": "expire",
+                   **table.expire_versions(keep_last=args.keep_last)}
+        else:
+            out = {"action": "orphans", **table.remove_orphan_files()}
+        print(json.dumps(out, default=str))
+        return 0
     pipe = CDCIngestPipeline(
         spark,
         args.feed_dir,
