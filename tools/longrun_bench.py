@@ -62,6 +62,11 @@ def parse_args():
                    help="two-level LSM cadence: minor folds at the "
                         "threshold, major every --major-every runs")
     p.add_argument("--major-every", type=int, default=4)
+    p.add_argument("--compact-threshold", type=int, default=8,
+                   help="delta generations a bucket stacks before folding; "
+                        "with minor compaction the worst-pause fold window "
+                        "is O(threshold x batch) rows, so halving it halves "
+                        "the fold floor at identical total write work")
     p.add_argument("--major-shards", type=int, default=1,
                    help="shard major compactions: each major rewrites only "
                         "1/N of the base buckets (round-robin), bounding the "
@@ -104,7 +109,8 @@ def replay(spark, args, feed: str) -> tuple[list[dict], object]:
 
     table = ParquetLakeTable(spark, lake)
     cfg = IngestConfig(
-        n_buckets=32, normalize_text=True, adaptive=False, compact_threshold=8,
+        n_buckets=32, normalize_text=True, adaptive=False,
+        compact_threshold=args.compact_threshold,
         minor_compaction=args.minor_compaction, major_every=args.major_every,
         major_shards=args.major_shards,
     )
@@ -286,7 +292,7 @@ def main():
         "parallelism": args.parallelism,
         "expire_every": args.expire_every,
         "keep_last": args.keep_last,
-        "compact_threshold": 8,
+        "compact_threshold": args.compact_threshold,
         "minor_compaction": args.minor_compaction,
         "major_every": args.major_every if args.minor_compaction else None,
         "major_shards": args.major_shards if args.minor_compaction else None,
