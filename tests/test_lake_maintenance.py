@@ -485,3 +485,45 @@ def test_expiry_skips_unreferenced_window_orphans_sweep_collects(table):
     assert os.path.isdir(os.path.join(data, inflight))  # never swept
     # table still fully readable
     assert table.read().count() == 3
+
+
+def test_wide_bucket_layout_writes_only_touched_buckets(spark, tmp_path):
+    """The 100 TB layout raises n_buckets (e.g. 4096) so each compaction
+    unit stays executor-sized; per-batch write cost must then be
+    O(touched buckets), never O(n_buckets). 512 buckets, 100 convs:
+    every delta generation may contain at most |distinct convs| bucket
+    files, the manifest stays KB-sized, and the replay is still exact."""
+    from xgeo_spark.fixtures.generator import (
+        ChangeStreamConfig,
+        generate_change_events,
+        lww_oracle,
+        write_change_stream_parquet,
+    )
+    from xgeo_spark.streaming.pipeline import CDCIngestPipeline, IngestConfig
+
+    cfg = ChangeStreamConfig(n_events=20_000, n_convs=100, seed=31, n_files=8)
+    feed = str(tmp_path / "feed")
+    write_change_stream_parquet(feed, cfg)
+    t = ParquetLakeTable(spark, str(tmp_path / "lake"))
+    pipe = CDCIngestPipeline(
+        spark, feed, t,
+        config=IngestConfig(n_buckets=512, lineage=False,
+                            minor_compaction=True, major_shards=4),
+    )
+    pipe.run_batch_replay(files_per_batch=2)
+
+    m = t.manifest()
+    for coll in (m["buckets"], m.get("deltas") or {}):
+        assert len(coll) <= 100, "more bucket entries than distinct convs"
+    manifest_bytes = os.path.getsize(
+        t._manifest_path(t.current_version())
+    )
+    n_refs = len(t._manifest_refs(t.current_version()))
+    # size is O(referenced files) — path + per-file stats — never O(n_buckets)
+    assert n_refs > 0 and manifest_bytes / n_refs < 1500, (
+        manifest_bytes, n_refs
+    )
+
+    got = t.read().orderBy("conv_id", "turn_idx").toPandas()
+    exp = lww_oracle(generate_change_events(cfg))
+    assert got["text"].fillna("∅").tolist() == exp["text"].fillna("∅").tolist()
