@@ -14,6 +14,7 @@ idempotent no-ops. Exactly-once under kill -9, not just under stop()."""
 from __future__ import annotations
 
 import os
+import re
 import signal
 import subprocess
 import sys
@@ -23,6 +24,18 @@ import time
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Committed manifests only — mirrors parquet_lake._VERSION_RE.  Hadoop's
+# ChecksumFileSystem leaves dot-prefixed .crc sidecars and in-flight tmp
+# files in the same directory, so a raw listdir count races the commit
+# protocol (".x.crc" + "x.tmp" == 2 entries with ZERO commits).
+_COMMITTED_RE = re.compile(r"v\d{12}\.json")
+
+
+def _committed_versions(versions_dir: str) -> int:
+    if not os.path.isdir(versions_dir):
+        return 0
+    return sum(1 for x in os.listdir(versions_dir) if _COMMITTED_RE.fullmatch(x))
 
 CHILD = textwrap.dedent(
     """
@@ -75,7 +88,7 @@ def test_sigkill_mid_stream_then_resume_converges(spark, tmp_path):
         versions = str(tmp_path / "lake" / "_versions")
         deadline = time.time() + 300
         while time.time() < deadline:
-            n = len(os.listdir(versions)) if os.path.isdir(versions) else 0
+            n = _committed_versions(versions)
             if n >= 2:
                 break
             if proc.poll() is not None:

@@ -36,6 +36,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "crashed/losing commit attempts)")
     p.add_argument("--keep-last", type=int, default=4,
                    help="snapshots retained by --maintenance expire")
+    p.add_argument("--orphan-grace", type=float, default=3600.0,
+                   help="--maintenance orphans: skip attempt dirs/files "
+                        "modified within the last SECONDS. The sweep "
+                        "assumes NO concurrent writer unless this grace "
+                        "exceeds any in-flight attempt's write duration — "
+                        "an overtaken attempt dir looks orphaned while "
+                        "its writer is still producing files (the "
+                        "writer's job would die on missing files; table "
+                        "state stays correct). 0 sweeps everything")
     p.add_argument("--mode", choices=["batch", "stream"], default="stream")
     p.add_argument("--checkpoint-dir", default=None, help="required for --mode stream")
     p.add_argument("--lineage-dir", default=None)
@@ -88,7 +97,8 @@ def main(argv: list[str] | None = None) -> int:
             out = {"action": "expire",
                    **table.expire_versions(keep_last=args.keep_last)}
         else:
-            out = {"action": "orphans", **table.remove_orphan_files()}
+            out = {"action": "orphans", **table.remove_orphan_files(
+                older_than_seconds=args.orphan_grace)}
         print(json.dumps(out, default=str))
         return 0
     pipe = CDCIngestPipeline(

@@ -37,6 +37,10 @@ class HadoopFS:
         self._fs = self._Path(root).getFileSystem(
             spark._jsc.hadoopConfiguration()
         )
+        # Scheme of the RESOLVED filesystem (a bare "/p" root resolves
+        # through fs.defaultFS, which may be hdfs:// on a cluster) —
+        # gates the os.link local fast path in write_text_commit.
+        self._scheme = str(self._fs.getUri().getScheme() or "")
 
     # ---------- path helpers ----------
 
@@ -145,12 +149,30 @@ class HadoopFS:
         if local_dst is not None:
             import os
 
+            local_tmp = self._local_path(tmp)
             try:
-                os.link(self._local_path(tmp), local_dst)
+                os.link(local_tmp, local_dst)
             except FileExistsError:
                 raise FileExistsError(
                     f"commit conflict: {path} already exists"
                 ) from None
+            else:
+                # Preserve the ChecksumFileSystem sidecar: Hadoop wrote
+                # ``.{tmp}.crc`` beside the tmp file and later Hadoop
+                # reads of the destination verify against
+                # ``.{dst}.crc``; link it across BEFORE the tmp delete
+                # removes it. Best-effort — absent when checksums are
+                # off, and the CRC encodes chunk contents, not the
+                # filename, so the link is valid for the destination.
+                tdir, tname = os.path.split(local_tmp)
+                ddir, dname = os.path.split(local_dst)
+                try:
+                    os.link(
+                        os.path.join(tdir, f".{tname}.crc"),
+                        os.path.join(ddir, f".{dname}.crc"),
+                    )
+                except OSError:
+                    pass
             finally:
                 self._fs.delete(self._p(tmp), False)
             return
@@ -160,14 +182,44 @@ class HadoopFS:
             raise FileExistsError(f"commit conflict: {path} already exists")
 
     def _local_path(self, path: str) -> str | None:
-        """POSIX path when ``path`` lives on the local filesystem (bare
-        /p or file:/p URIs), else None."""
-        if path.startswith("/"):
-            return path
-        if path.startswith("file:"):
-            rest = path.split(":", 1)[1]
-            return "/" + rest.lstrip("/")
-        return None
+        """POSIX path when the RESOLVED filesystem is the local one,
+        else None.
+
+        Gated on the filesystem's own scheme, not the path's shape: a
+        bare ``/p`` resolves through ``fs.defaultFS`` (hdfs:// on a
+        typical cluster), in which case the tmp manifest lives on HDFS
+        and an ``os.link`` against the driver's local disk would fail —
+        such configs must take the Hadoop rename path below.  Authority
+        and relative parts are resolved by Hadoop itself
+        (``makeQualified().toUri().getPath()``), not string surgery, so
+        ``file://host/p`` URIs survive intact."""
+        if self._scheme != "file":
+            return None
+        try:
+            return str(
+                self._fs.makeQualified(self._p(path)).toUri().getPath()
+            )
+        except Exception:
+            return None
+
+    # ---------- metadata ----------
+
+    def mtime(self, path: str) -> float:
+        """Modification time (epoch seconds) of a path."""
+        return (
+            self._fs.getFileStatus(self._p(path)).getModificationTime()
+            / 1000.0
+        )
+
+    def newest_mtime_recursive(self, dir_path: str) -> float:
+        """Newest file modification time (epoch seconds) under a tree,
+        falling back to the dir's own mtime for an empty tree."""
+        p = self._p(dir_path)
+        newest = self._fs.getFileStatus(p).getModificationTime()
+        it = self._fs.listFiles(p, True)
+        while it.hasNext():
+            newest = max(newest, it.next().getModificationTime())
+        return newest / 1000.0
 
     # ---------- mutation ----------
 

@@ -997,7 +997,12 @@ class ParquetLakeTable(LakeTable):
 
         Safe order: manifests are removed BEFORE their now-orphaned data
         files, so a crash mid-expiry never leaves a retained manifest
-        pointing at deleted data."""
+        pointing at deleted data.
+
+        ``data_files_removed`` in the result counts **manifest references
+        reclaimed** (see the whole-dir branch) — stragglers swept by a
+        recursive dir delete are not itemized and already-missing
+        references are not subtracted."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         current = self.current_version()
@@ -1027,6 +1032,12 @@ class ParquetLakeTable(LakeTable):
                 if self.fs.delete(
                     posixpath.join(self.root, "data", vd), recursive=True
                 ):
+                    # Count = manifest references RECLAIMED, not an exact
+                    # on-disk tally: the recursive delete also removes any
+                    # never-committed stragglers in the dir (uncounted)
+                    # and doesn't re-verify each reference still existed
+                    # (listing the dir first would reintroduce the
+                    # O(table files) walk this path exists to avoid).
                     removed_files += len(rels)
                     removed_dirs += 1
                 continue
@@ -1051,7 +1062,7 @@ class ParquetLakeTable(LakeTable):
             "data_dirs_removed": removed_dirs,
         }
 
-    def remove_orphan_files(self) -> dict:
+    def remove_orphan_files(self, older_than_seconds: float = 0.0) -> dict:
         """Full-listing orphan sweep (Iceberg ``remove_orphan_files``
         analogue): deletes data files referenced by NO retained manifest —
         the residue of crashed or losing commit attempts. This is the
@@ -1059,7 +1070,21 @@ class ParquetLakeTable(LakeTable):
         is a standalone maintenance action, never part of the per-batch
         ingest cadence. Only attempt dirs at versions <= current are
         considered: an in-flight writer's dir (version current+1 or
-        higher) is never swept."""
+        higher) is never swept.
+
+        ``older_than_seconds`` is the modification-time grace window
+        (Iceberg's mandatory ``older_than``, same rationale): with
+        CONCURRENT writers, an in-flight attempt whose target version was
+        overtaken by another commit is no longer > current, so without a
+        grace cutoff the sweep would recursively delete the attempt dir
+        mid-write and the racing writer's Spark job dies on opaque
+        missing-file task errors (its OCC retry keeps the TABLE correct
+        either way — this protects the writer, not the data). Default 0
+        sweeps everything and is only safe when no other writer is
+        active; the CLI passes a non-zero default."""
+        import time as _time
+
+        cutoff = _time.time() - older_than_seconds
         current = self.current_version()
         referenced: set[str] = set()
         for v in self._list_versions():
@@ -1074,6 +1099,14 @@ class ParquetLakeTable(LakeTable):
             if not m or int(m.group(1)) > current:
                 continue
             if vd not in ref_vdirs:
+                if (
+                    older_than_seconds > 0
+                    and self.fs.newest_mtime_recursive(
+                        posixpath.join(data_root, vd)
+                    )
+                    > cutoff
+                ):
+                    continue  # possibly an overtaken in-flight attempt
                 if self.fs.delete(
                     posixpath.join(data_root, vd), recursive=True
                 ):
@@ -1085,6 +1118,11 @@ class ParquetLakeTable(LakeTable):
             ):
                 full = posixpath.join("data", vd, rel)
                 if rel.endswith(".parquet") and full not in referenced:
+                    if older_than_seconds > 0 and (
+                        self.fs.mtime(posixpath.join(data_root, vd, rel))
+                        > cutoff
+                    ):
+                        continue
                     self.fs.delete(posixpath.join(data_root, vd, rel))
                     removed_files += 1
                 touched.add(posixpath.dirname(posixpath.join(vd, rel)))
