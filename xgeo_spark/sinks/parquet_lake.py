@@ -685,6 +685,7 @@ class ParquetLakeTable(LakeTable):
         max_rows_per_file: int | None = None,
         min_depth: int = 1,
         buckets: list[int] | None = None,
+        max_commit_retries: int = 0,
     ) -> MergeStats:
         """Fold delta files into the base (mor -> read-optimized).
 
@@ -713,7 +714,37 @@ class ParquetLakeTable(LakeTable):
         ``buckets``: explicit bucket set to fold (a SHARDED major — the
         caller bounds the rewrite to a slice of the table so the worst
         compaction pause scales with shard size, not table size); buckets
-        with nothing stacked are skipped. Overrides ``min_depth``."""
+        with nothing stacked are skipped. Overrides ``min_depth``.
+
+        ``max_commit_retries``: conflict budget for CONCURRENT-writer
+        deployments (a background compactor racing the ingest writer).
+        Each lost manifest race first tries a METADATA-LEVEL rebase — a
+        concurrent ingest commit only appends delta files, so the fold's
+        rewrite stays valid: swap the folded files for the written ones on
+        top of the winner's manifest, no Spark recompute — and only falls
+        back to recomputing the whole fold when the winner invalidated it
+        (rewrote a touched bucket's base, folded the same deltas,
+        rebucketted, changed mode). 0 (default) preserves the
+        single-writer behavior: surface the conflict."""
+        budget = [max_commit_retries]
+        while True:
+            try:
+                return self._compact_once(
+                    cluster_by, max_rows_per_file, min_depth, buckets, budget
+                )
+            except CommitConflictError:
+                if budget[0] <= 0:
+                    raise
+                budget[0] -= 1
+
+    def _compact_once(
+        self,
+        cluster_by: str | None,
+        max_rows_per_file: int | None,
+        min_depth: int,
+        buckets: list[int] | None,
+        budget: list[int],
+    ) -> MergeStats:
         m = self.manifest()
         deltas: dict = m.get("deltas") or {}
         if buckets is not None:
@@ -766,30 +797,38 @@ class ParquetLakeTable(LakeTable):
         still_delta = {f for fl in new_manifest["deltas"].values() for f in fl}
         old_runs = m.get("run_files") or []
         new_manifest["run_files"] = [f for f in old_runs if f in still_delta]
+        fresh_stats = self._collect_file_stats(written)
         new_manifest["file_stats"] = self._carry_stats(
-            m, new_manifest["buckets"], new_manifest["deltas"],
-            self._collect_file_stats(written),
+            m, new_manifest["buckets"], new_manifest["deltas"], fresh_stats
         )
-        new_manifest["commits"] = (m.get("commits") or [])[-99:] + [
-            {
-                "batch_id": None,
-                "offset_range": None,
-                "buckets_rewritten": touched,
-                "rows_in": 0,
-                "deletes_in": 0,
-                "schema_changed": False,
-                "compaction": True,
-            }
-        ]
-        try:
-            self._commit(new_manifest)
-        except CommitConflictError:
-            self._delete_attempt_files(written)
-            raise
+        commit_entry = {
+            "batch_id": None,
+            "offset_range": None,
+            "buckets_rewritten": touched,
+            "rows_in": 0,
+            "deletes_in": 0,
+            "schema_changed": False,
+            "compaction": True,
+        }
+        new_manifest["commits"] = (m.get("commits") or [])[-99:] + [commit_entry]
+        version = self._commit_compaction(
+            new_manifest,
+            m,
+            touched,
+            written,
+            folded={str(b): list(deltas.get(str(b), [])) for b in touched},
+            minor=False,
+            commit_entry=commit_entry,
+            written_stats=fresh_stats,
+            budget=budget,
+        )
         return MergeStats(batch_id=None, version=version, buckets_touched=len(touched))
 
     def compact_minor(
-        self, min_depth: int = 1, buckets: list[int] | None = None
+        self,
+        min_depth: int = 1,
+        buckets: list[int] | None = None,
+        max_commit_retries: int = 0,
     ) -> MergeStats:
         """LSM-style MINOR compaction: fold each qualifying bucket's RAW
         delta stack (the per-batch appends) into one collapsed RUN file —
@@ -817,7 +856,24 @@ class ParquetLakeTable(LakeTable):
         marks which delta entries are runs, so the triggers can count raw
         vs run depth separately. The commit is flagged ``compaction`` +
         ``minor`` so change readers treat the re-referenced rows like any
-        compaction rewrite."""
+        compaction rewrite.
+
+        ``max_commit_retries``: same conflict budget + metadata rebase as
+        :meth:`compact` (a minor's rebase needs no base-equality check —
+        it never touches the base; only the folded raws must still be
+        referenced by the winner)."""
+        budget = [max_commit_retries]
+        while True:
+            try:
+                return self._compact_minor_once(min_depth, buckets, budget)
+            except CommitConflictError:
+                if budget[0] <= 0:
+                    raise
+                budget[0] -= 1
+
+    def _compact_minor_once(
+        self, min_depth: int, buckets: list[int] | None, budget: list[int]
+    ) -> MergeStats:
         m = self.manifest()
         deltas: dict = m.get("deltas") or {}
         run_files = set(m.get("run_files") or [])
@@ -862,27 +918,135 @@ class ParquetLakeTable(LakeTable):
         new_manifest["version"] = version
         new_manifest["deltas"] = new_deltas
         new_manifest["run_files"] = sorted(new_runs & still)
+        fresh_stats = self._collect_file_stats(written)
         new_manifest["file_stats"] = self._carry_stats(
-            m, m["buckets"], new_deltas, self._collect_file_stats(written)
+            m, m["buckets"], new_deltas, fresh_stats
         )
-        new_manifest["commits"] = (m.get("commits") or [])[-99:] + [
-            {
-                "batch_id": None,
-                "offset_range": None,
-                "buckets_rewritten": touched,
-                "rows_in": 0,
-                "deletes_in": 0,
-                "schema_changed": False,
-                "compaction": True,
-                "minor": True,
-            }
-        ]
-        try:
-            self._commit(new_manifest)
-        except CommitConflictError:
-            self._delete_attempt_files(written)
-            raise
+        commit_entry = {
+            "batch_id": None,
+            "offset_range": None,
+            "buckets_rewritten": touched,
+            "rows_in": 0,
+            "deletes_in": 0,
+            "schema_changed": False,
+            "compaction": True,
+            "minor": True,
+        }
+        new_manifest["commits"] = (m.get("commits") or [])[-99:] + [commit_entry]
+        version = self._commit_compaction(
+            new_manifest,
+            m,
+            touched,
+            written,
+            folded={str(b): list(raw.get(str(b), [])) for b in touched},
+            minor=True,
+            commit_entry=commit_entry,
+            written_stats=fresh_stats,
+            budget=budget,
+        )
         return MergeStats(batch_id=None, version=version, buckets_touched=len(touched))
+
+    def _commit_compaction(
+        self,
+        new_manifest: dict,
+        m_orig: dict,
+        touched: list[int],
+        written: dict[int, list[str]],
+        folded: dict[str, list[str]],
+        minor: bool,
+        commit_entry: dict,
+        written_stats: dict[str, dict],
+        budget: list[int],
+    ) -> int:
+        """Commit a compaction manifest; on a lost race, RE-BASE on the
+        winner's manifest at the METADATA level — no Spark recompute.
+
+        Soundness: the LWW reduce is an argmax under a total order, so a
+        fold of a file set S is valid against ANY manifest that still
+        references exactly S for those buckets plus newer deltas on top
+        (the newer deltas override the folded result the same way they
+        overrode its inputs). A concurrent ingest commit only appends
+        delta files and never rewrites the base, so the rebase applies;
+        anything else (another compactor folded the same files, a
+        rebucket, a mode flip, snapshot expiry dropping a folded ref)
+        fails the validity check and surfaces CommitConflictError for the
+        caller's full-recompute loop. Each rebase consumes one unit of the
+        shared ``budget``; at 0 the conflict surfaces to the caller.
+
+        Returns the version actually committed."""
+        while True:
+            try:
+                self._commit(new_manifest)
+                return new_manifest["version"]
+            except CommitConflictError:
+                if budget[0] <= 0:
+                    self._delete_attempt_files(written)
+                    raise
+                budget[0] -= 1
+                m2 = self.manifest()
+                rebased = self._rebase_compaction_manifest(
+                    m2, m_orig, touched, written, folded, minor,
+                    commit_entry, written_stats,
+                )
+                if rebased is None:
+                    self._delete_attempt_files(written)
+                    raise
+                new_manifest = rebased
+
+    def _rebase_compaction_manifest(
+        self,
+        m2: dict,
+        m_orig: dict,
+        touched: list[int],
+        written: dict[int, list[str]],
+        folded: dict[str, list[str]],
+        minor: bool,
+        commit_entry: dict,
+        written_stats: dict[str, dict],
+    ) -> dict | None:
+        """Rebuild a compaction commit on top of the WINNER's manifest
+        ``m2``, or None when the concurrent commit invalidated the fold
+        (see ``_commit_compaction``). The winner's schema/last_batch_id/
+        commit history are carried verbatim — compaction changes file
+        layout only. Files this attempt wrote were shaped to ``m_orig``'s
+        schema; readers fill columns the winner added since with typed
+        nulls (the same contract old delta files rely on after any
+        evolution)."""
+        if (
+            m2.get("n_buckets") != m_orig.get("n_buckets")
+            or m2.get("mode") != m_orig.get("mode")
+        ):
+            return None
+        deltas2 = {b: list(fl) for b, fl in (m2.get("deltas") or {}).items()}
+        buckets2 = dict(m2.get("buckets") or {})
+        orig_buckets = m_orig.get("buckets") or {}
+        for b in touched:
+            sb = str(b)
+            if not minor and buckets2.get(sb, []) != orig_buckets.get(sb, []):
+                return None  # the base this fold rewrote changed under it
+            if not set(folded.get(sb, ())) <= set(deltas2.get(sb, ())):
+                return None  # a folded delta is gone (compacted/expired)
+        runs2 = set(m2.get("run_files") or [])
+        for b in touched:
+            sb = str(b)
+            fold_b = set(folded.get(sb, ()))
+            fresh = written.get(b, [])
+            remaining = [f for f in deltas2.get(sb, []) if f not in fold_b]
+            if minor:
+                deltas2[sb] = remaining + fresh
+                runs2.update(fresh)
+            else:
+                buckets2[sb] = fresh
+                deltas2[sb] = remaining
+        still = {f for fl in deltas2.values() for f in fl}
+        nm = dict(m2)
+        nm["version"] = m2["version"] + 1
+        nm["buckets"] = buckets2
+        nm["deltas"] = deltas2
+        nm["run_files"] = sorted(runs2 & still)
+        nm["file_stats"] = self._carry_stats(m2, buckets2, deltas2, written_stats)
+        nm["commits"] = (m2.get("commits") or [])[-99:] + [commit_entry]
+        return nm
 
     def rebucket(self, new_n_buckets: int) -> MergeStats:
         """Change the table's hash-bucket count (layout evolution).

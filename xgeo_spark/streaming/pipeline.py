@@ -76,6 +76,15 @@ class IngestConfig:
     # priority each cycle they wait. 1 = unsharded (rewrite every ripe
     # bucket at once, the pre-r4 cadence).
     major_shards: int = 1
+    # hand MAJOR compaction to a concurrent maintenance writer
+    # (streaming/compactor.BackgroundCompactor): ingest then only ever
+    # minor-folds (O(delta window)) and its worst pause drops to that
+    # floor; base rewrites happen on the compactor's thread/process via
+    # the optimistic-retry commit. The pipeline does NOT start the
+    # compactor itself (it may live in another process) — this flag only
+    # stops ingest from majoring inline and arms the conflict-retry
+    # budget on its minor folds.
+    background_major: bool = False
     # op-'P' partial images ("null means unchanged"): squashed into full
     # rows at ingest via a bucket-pruned read-modify-write
     # (operators/patch.py). Off by default — feeds without patches must
@@ -287,6 +296,16 @@ class CDCIngestPipeline:
         ):
             return
         threshold = self.config.compact_threshold
+        # with a concurrent compactor racing this writer, every inline
+        # fold needs a conflict budget (rebase is metadata-only; see
+        # sinks/parquet_lake._commit_compaction)
+        retries = 10 if self.config.background_major else 0
+        if self.config.background_major:
+            depths = self.table.bucket_depths()
+            due = [b for b, (raw, _) in depths.items() if raw >= threshold]
+            if due:
+                self.table.compact_minor(buckets=due, max_commit_retries=retries)
+            return
         if not self.config.minor_compaction:
             if self.table.delta_depth() >= threshold:
                 # fold ONLY the buckets at/above threshold: under skew, one
