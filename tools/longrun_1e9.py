@@ -66,6 +66,14 @@ def parse_args():
                    help="shard major compactions: each major rewrites only "
                         "1/N of the base buckets (round-robin), bounding the "
                         "worst pause by shard size instead of table size")
+    p.add_argument("--background-major", action="store_true",
+                   help="run MAJOR compaction on a concurrent maintenance "
+                        "writer (streaming/compactor.BackgroundCompactor) "
+                        "instead of inline in apply_batch: ingest only ever "
+                        "pays the O(delta window) minor fold, base rewrites "
+                        "race through the optimistic commit + metadata "
+                        "rebase. The r5 pause story — worst ingest batch "
+                        "should drop to the minor-fold floor")
     p.add_argument("--workdir", default="/tmp/xgeo_1e9")
     p.add_argument("--out", default=None)
     p.add_argument("--parallelism", type=int, default=32)
@@ -138,8 +146,21 @@ def main():
             compact_threshold=8, minor_compaction=True,
             major_every=args.major_every,
             major_shards=args.major_shards,
+            background_major=args.background_major,
         ),
     )
+    compactor = None
+    if args.background_major:
+        from xgeo_spark.streaming.compactor import BackgroundCompactor
+
+        # own table instance: the compactor races ingest through the
+        # filesystem commit protocol, exactly as a separate process would
+        compactor = BackgroundCompactor(
+            ParquetLakeTable(spark, lake),
+            major_every=args.major_every,
+            major_shards=args.major_shards,
+            poll_seconds=1.0,
+        ).start()
 
     import pyarrow.parquet as pq
 
@@ -207,6 +228,22 @@ def main():
         })
         print(json.dumps(wave_meta[-1]), flush=True)
 
+    import statistics
+
+    compactor_stats = None
+    if compactor is not None:
+        cs = compactor.stop(drain=True)
+        compactor_stats = {
+            "majors": cs.majors,
+            "conflicts_recomputed": cs.conflicts_recomputed,
+            "buckets_rewritten": cs.buckets_rewritten,
+            "worst_major_s": round(max((p[1] for p in cs.pauses), default=0.0), 2),
+            "median_major_s": round(
+                statistics.median(p[1] for p in cs.pauses), 2
+            ) if cs.pauses else 0.0,
+        }
+        print(json.dumps({"compactor": compactor_stats}), flush=True)
+
     # ---- final cross-wave reduce + distributed compare ----
     expected_dir = os.path.join(args.workdir, "expected")
     os.makedirs(expected_dir, exist_ok=True)
@@ -257,8 +294,6 @@ def main():
         "compare_s": round(time.perf_counter() - t4, 1),
     }
 
-    import statistics
-
     n = len(batches)
     deciles = []
     for d in range(10):
@@ -284,6 +319,16 @@ def main():
         "minor_compaction": True,
         "major_every": args.major_every,
         "major_shards": args.major_shards,
+        "background_major": args.background_major,
+        "compactor": compactor_stats,
+        # the r5 pause gate: with majors off the ingest path the worst
+        # ingest batch should sit within ~3x the median (minor-fold floor)
+        "batch_wall_median_s": round(
+            statistics.median(b["wall_s"] for b in batches), 3),
+        "batch_wall_worst_s": round(max(b["wall_s"] for b in batches), 3),
+        "worst_over_median": round(
+            max(b["wall_s"] for b in batches)
+            / statistics.median(b["wall_s"] for b in batches), 2),
         "deciles": deciles,
         "last_over_first_sum": round(
             deciles[-1]["ev_s_sum"] / deciles[0]["ev_s_sum"], 3),

@@ -377,12 +377,22 @@ def write_ivf_index(
     cell is then PARTITION PRUNING (the scan plans only cell=<id>
     directories and never lists the rest) — the lake-layout realization of
     "IVF reads nprobe/K of the table". `repartition("cell")` keeps it to
-    one file per cell per write, not one per (task, cell)."""
+    one file per cell per write, not one per (task, cell).
+
+    Rows carry an ``_lsn`` version column (from an ``lsn`` input column if
+    present, else -1 = "base build") so `upsert_ivf_index` can append
+    newer versions of a vector and reads can resolve last-writer-wins."""
     import json as _json
 
     assign = ivf_assign_udf(centroids, cell_ids)
+    if "lsn" in df.columns:
+        base = df.withColumn("_lsn", F.col("lsn").cast("long")).drop("lsn")
+    elif "_lsn" in df.columns:
+        base = df.withColumn("_lsn", F.col("_lsn").cast("long"))
+    else:
+        base = df.withColumn("_lsn", F.lit(-1).cast("long"))
     (
-        df.withColumn("cell", assign(F.col(vec_col)))
+        base.withColumn("cell", assign(F.col(vec_col)))
         .repartition("cell")
         .write.partitionBy("cell")
         .mode("overwrite")
@@ -396,6 +406,49 @@ def write_ivf_index(
     ).text(path + "_meta")
 
 
+def _ivf_meta(spark, path: str) -> dict:
+    import json as _json
+
+    return _json.loads(spark.read.text(path + "_meta").first()["value"])
+
+
+def read_ivf_live(
+    spark, path: str, id_col: str = "vec_id", cells: list[int] | None = None
+) -> DataFrame:
+    """Live (last-writer-wins) rows of an IVF index, optionally restricted
+    to a probed cell subset (partition pruning — the pruned scan is the
+    whole point of the layout).
+
+    Upserts append a vector's NEW version into its (possibly different)
+    cell and record (id, lsn) in the ``_moved`` sidecar; stale versions —
+    including ones sitting in a cell the probe DID read — are dropped here
+    by the exclusion join: a row survives only if no moved entry for its
+    id carries a strictly newer lsn (the newest upsert's own entry ties,
+    so it survives; a delete writes only the moved entry, so every stored
+    version is excluded). The moved set is bounded by the churn since the
+    last rebuild — `maybe_refine_ivf` folds it away — so the exclusion
+    join is a broadcast, costing nothing against the probed read."""
+    df = spark.read.parquet(path)
+    if cells is not None:
+        df = df.filter(F.col("cell").isin(list(cells)))
+    if "_lsn" not in df.columns:
+        df = df.withColumn("_lsn", F.lit(-1).cast("long"))
+    try:
+        moved = spark.read.parquet(path + "_moved")
+    except Exception:
+        return df
+    latest = moved.groupBy(F.col("id").alias("_mid")).agg(
+        F.max("lsn").alias("_mlsn")
+    )
+    return (
+        df.join(
+            F.broadcast(latest), df[id_col] == F.col("_mid"), "left"
+        )
+        .filter(F.col("_mlsn").isNull() | (F.col("_mlsn") <= F.col("_lsn")))
+        .drop("_mid", "_mlsn")
+    )
+
+
 def ivf_search(
     spark,
     path: str,
@@ -407,19 +460,15 @@ def ivf_search(
 ) -> DataFrame:
     """Top-k by cosine from a materialized IVF index: pick the nprobe
     nearest centroids driver-side (metadata math), read ONLY those cells'
-    partitions, exact-verify inside them."""
-    import json as _json
-
-    meta = _json.loads(
-        spark.read.text(path + "_meta").first()["value"]
-    )
+    partitions, exact-verify inside them. Upserted/deleted vectors are
+    resolved through `read_ivf_live` at the same read fraction."""
+    meta = _ivf_meta(spark, path)
     probe = ivf_probe_cells(
         meta["centroids"], meta["cell_ids"], query_vec, nprobe
     )
     cos = cosine_to_anchor_udf([float(x) for x in query_vec])
     return (
-        spark.read.parquet(path)
-        .filter(F.col("cell").isin(probe))
+        read_ivf_live(spark, path, id_col=id_col, cells=probe)
         .select(
             id_col,
             "cell",
@@ -428,3 +477,125 @@ def ivf_search(
         .orderBy(F.col("cosine").desc(), id_col)
         .limit(k)
     )
+
+
+def upsert_ivf_index(
+    spark,
+    path: str,
+    updates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lsn_col: str = "lsn",
+    op_col: str | None = None,
+) -> dict:
+    """Incrementally maintain a materialized IVF index (VERDICT r4 item
+    4): assign the update batch's vectors to cells under the EXISTING
+    centroids and append them into the partitioned layout — no rebuild,
+    no read of the index. Every updated/deleted id is also appended to
+    the ``_moved`` sidecar, which `read_ivf_live` uses to drop stale
+    versions (a changed vector may land in a different cell; its old row
+    is tombstoned by lsn, not sought out and rewritten — O(batch) writes
+    only).
+
+    ``op_col``: optional CDC op column; rows with 'D' write only the
+    moved tombstone. Centroids drift as data arrives — `maybe_refine_ivf`
+    is the companion trigger that re-runs Lloyd + rewrites when cell-size
+    skew or the moved fraction passes a threshold.
+    """
+    meta = _ivf_meta(spark, path)
+    assign = ivf_assign_udf(meta["centroids"], meta["cell_ids"])
+    updates = updates.persist()
+    try:
+        ups = updates
+        if op_col is not None:
+            ups = ups.filter(F.col(op_col) != "D")
+        (
+            ups.withColumn("cell", assign(F.col(vec_col)))
+            .withColumn("_lsn", F.col(lsn_col).cast("long"))
+            .drop(lsn_col, *( [op_col] if op_col else [] ))
+            .repartition("cell")
+            .write.partitionBy("cell")
+            .mode("append")
+            .parquet(path)
+        )
+        updates.select(
+            F.col(id_col).alias("id"), F.col(lsn_col).cast("long").alias("lsn")
+        ).coalesce(1).write.mode("append").parquet(path + "_moved")
+    finally:
+        updates.unpersist()
+    return {"upserted": ups.count(), "tombstoned": updates.count()}
+
+
+def ivf_cell_stats(spark, path: str, id_col: str = "vec_id") -> dict:
+    """Cell-size skew + churn of an IVF index — the drift signals.
+    One pruned-column aggregate over the index (cell is a partition
+    column: the scan reads no row data) + a count of the moved sidecar."""
+    rows = (
+        read_ivf_live(spark, path, id_col=id_col)
+        .groupBy("cell").count().collect()
+    )
+    sizes = {int(r["cell"]): int(r["count"]) for r in rows}
+    n = sum(sizes.values())
+    mean = n / max(1, len(sizes))
+    try:
+        n_moved = spark.read.parquet(path + "_moved").count()
+    except Exception:
+        n_moved = 0
+    return {
+        "n_live": n,
+        "n_cells": len(sizes),
+        "max_cell": max(sizes.values(), default=0),
+        "skew": (max(sizes.values(), default=0) / mean) if n else 0.0,
+        "n_moved": n_moved,
+        "moved_frac": n_moved / n if n else 0.0,
+        "sizes": sizes,
+    }
+
+
+def maybe_refine_ivf(
+    spark,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    skew_threshold: float = 4.0,
+    moved_frac_threshold: float = 0.5,
+    n_rounds: int = 2,
+    force: bool = False,
+) -> bool:
+    """Drift trigger: when cell-size skew (max/mean) or the moved-sidecar
+    fraction passes its threshold, re-run `kmeans_refine` from the CURRENT
+    centroids over the LIVE rows and rewrite the index (folding the moved
+    tombstones away). Returns True when a rebuild happened.
+
+    The rebuild is the expensive O(index) path — the thresholds make it
+    amortized: upserts are O(batch) until drift actually warrants a
+    re-layout, the same economics as the lake's major compaction."""
+    stats = ivf_cell_stats(spark, path, id_col=id_col)
+    if not force and (
+        stats["skew"] < skew_threshold
+        and stats["moved_frac"] < moved_frac_threshold
+    ):
+        return False
+    meta = _ivf_meta(spark, path)
+    live = read_ivf_live(spark, path, id_col=id_col).drop("cell")
+    live = live.persist()
+    try:
+        mat, ids = kmeans_refine(
+            live, meta["centroids"], meta["cell_ids"],
+            vec_col=vec_col, n_rounds=n_rounds, quantize=6,
+            empty_cells="keep",
+        )
+        tmp = path + "_rebuild"
+        write_ivf_index(live, tmp, mat, ids, vec_col=vec_col)
+    finally:
+        live.unpersist()
+    # swap: the rebuild wrote to a sibling dir; promote it and clear the
+    # tombstones it folded away (local-FS rename; on an object store the
+    # index root would be manifest-switched like the lake tables)
+    import shutil
+
+    for suffix in ("", "_meta"):
+        shutil.rmtree(path + suffix)
+        shutil.move(tmp + suffix, path + suffix)
+    shutil.rmtree(path + "_moved", ignore_errors=True)
+    return True

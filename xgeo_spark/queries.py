@@ -661,6 +661,40 @@ def doc_minhash_near_dup(spark, sf_dir):
     )
 
 
+def doc_incremental_near_dup(spark, sf_dir):
+    """Near-dup of a NEW document batch against a PERSISTED MinHash index
+    (operators/incremental_dedup.py) — the incremental form of
+    `doc_minhash_near_dup` a daily 100-TB pipeline actually runs: the
+    corpus (doc_id % 5 != 4, ~80%) is folded into the index via the lake's
+    CDC merge, the "new arrivals" (doc_id % 5 == 4) land as a second
+    batch, and only THAT batch is band-joined against the index — the
+    corpus is never re-signed. Same LSH parameters as the full-recompute
+    query, so the output equals its pairs restricted to pairs touching a
+    new doc (equivalence asserted under I/U/D streams in
+    tests/test_incremental_dedup.py). Oracle: golden VALUES pin (minhash
+    is not SQL-re-derivable; same class as doc_minhash_near_dup)."""
+    import tempfile
+
+    from xgeo_spark.operators.incremental_dedup import MinHashIndex
+
+    d = _t(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="xgeo_mhidx_")
+    idx = MinHashIndex(
+        spark, root, n_hashes=64, n_bands=16, shingle_k=5, seed=42
+    ).create(n_buckets=8)
+    corpus = d.filter(F.col("doc_id") % 5 != 4).select(
+        "doc_id", F.lit("I").alias("op"),
+        F.col("doc_id").cast("long").alias("lsn"), "text",
+    )
+    idx.apply_batch(corpus, batch_id=0)
+    new_batch = d.filter(F.col("doc_id") % 5 == 4).select(
+        "doc_id", F.lit("I").alias("op"),
+        (F.col("doc_id") + 1_000_000).cast("long").alias("lsn"), "text",
+    )
+    idx.apply_batch(new_batch, batch_id=1)
+    return idx.pairs_for(new_batch.select("doc_id"), min_est_jaccard=0.2)
+
+
 def doc_simhash_buckets(spark, sf_dir):
     """SimHash 64-bit signatures + hamming-adjacent bucket counts.
     Oracle: golden VALUES pin (hash not re-derivable in SQL; semantics
@@ -1944,6 +1978,8 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "doc_ngram_jaccard_anchor": (doc_ngram_jaccard_anchor, DOC_NGRAM_SQL),
     "doc_text_analysis": (doc_text_analysis, _GOLDEN.get("doc_text_analysis")),
     "doc_minhash_near_dup": (doc_minhash_near_dup, _GOLDEN.get("doc_minhash_near_dup")),
+    "doc_incremental_near_dup": (
+        doc_incremental_near_dup, _GOLDEN.get("doc_incremental_near_dup")),
     "doc_simhash_buckets": (doc_simhash_buckets, _GOLDEN.get("doc_simhash_buckets")),
     "emb_cosine_topk": (emb_cosine_topk, EMB_COSINE_SQL),
     "emb_label_stats": (emb_label_stats, EMB_LABEL_SQL),
