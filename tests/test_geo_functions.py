@@ -612,3 +612,97 @@ def test_simplify_visvalingam_orb_semantics(spark):
         simplify_visvalingam(F.col("points"), F.col("tol")).alias("s")
     ).first()["s"]
     assert len(keep) == len(pts)
+
+
+# ---- round-5 parity additions (orb tail: planar distance, keep-N, polygon) --
+
+from xgeo_spark.functions.geo import (  # noqa: E402
+    planar_distance,
+    planar_distance_squared,
+    simplify_polygon,
+    simplify_visvalingam_keep,
+)
+
+
+def test_planar_distance_point_to_point(spark):
+    """orb/planar/distance.go Distance / DistanceSquared: 3-4-5 triangle,
+    symmetry, zero."""
+    df = spark.createDataFrame(
+        [(0.0, 0.0, 3.0, 4.0), (1.5, -2.0, 1.5, -2.0)],
+        ["lon1", "lat1", "lon2", "lat2"],
+    )
+    rows = df.select(
+        planar_distance(F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")).alias("d"),
+        planar_distance_squared(F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")).alias("d2"),
+        planar_distance(F.col("lon2"), F.col("lat2"), F.col("lon1"), F.col("lat1")).alias("rev"),
+    ).collect()
+    assert rows[0]["d"] == 5.0 and rows[0]["d2"] == 25.0
+    assert rows[0]["rev"] == 5.0
+    assert rows[1]["d"] == 0.0 and rows[1]["d2"] == 0.0
+
+
+def test_simplify_visvalingam_keep(spark):
+    """orb/simplify/visvalingam.go:33 VisvalingamKeep: remove smallest
+    triangles until N vertices remain; rows already at/below N unchanged."""
+    pts = [(0.0, 0.0), (1.0, 0.1), (2.0, 0.0), (3.0, 2.0), (4.0, 0.0)]
+    # doubled areas: v1=0.2, v2=2.1, v3=4.0 (all distinct -> deterministic)
+    df = _pts(spark, pts)
+
+    def run(k):
+        out = df.withColumn("k", F.lit(k)).select(
+            simplify_visvalingam_keep(F.col("points"), F.col("k")).alias("s")
+        ).first()["s"]
+        return [(p["lon"], p["lat"]) for p in out]
+
+    assert run(4) == [(0.0, 0.0), (2.0, 0.0), (3.0, 2.0), (4.0, 0.0)]
+    assert run(2) == [(0.0, 0.0), (4.0, 0.0)]  # endpoints always survive
+    assert run(5) == pts and run(9) == pts      # <= to_keep passes through
+
+
+def _poly_df(spark, rings):
+    schema = T.StructType([
+        T.StructField("rings", T.ArrayType(T.ArrayType(T.StructType([
+            T.StructField("lon", T.DoubleType()),
+            T.StructField("lat", T.DoubleType())])))),
+    ])
+    data = [([[{"lon": x, "lat": y} for x, y in r] for r in rings],)]
+    return spark.createDataFrame(data, schema)
+
+
+def test_simplify_polygon_ring_protection(spark):
+    """orb/simplify/helpers.go polygon(): rings simplified as linestrings
+    (closure survives — shared endpoint always kept), degenerate HOLES
+    dropped, outer ring always retained."""
+    outer = [(0.0, 0.0), (5.0, 0.001), (10.0, 0.0), (10.0, 10.0),
+             (0.0, 10.0), (0.0, 0.0)]           # one near-collinear vertex
+    hole = [(4.0, 4.0), (4.02, 4.02), (4.0, 4.04), (3.98, 4.02),
+            (4.0, 4.0)]                          # tiny diamond
+    df = _poly_df(spark, [outer, hole])
+
+    def run(tol, method):
+        out = df.select(simplify_polygon(
+            F.col("rings"), F.lit(tol), F.lit(method)).alias("s")
+        ).first()["s"]
+        return [[(p["lon"], p["lat"]) for p in r] for r in out]
+
+    # moderate tolerance: outer loses the collinear vertex, the hole
+    # collapses to its 2 endpoints -> dropped; closure preserved
+    got = run(0.1, "dp")
+    assert len(got) == 1
+    assert got[0] == [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0),
+                      (0.0, 10.0), (0.0, 0.0)]
+    assert got[0][0] == got[0][-1]
+
+    # tiny tolerance: both rings survive intact
+    got2 = run(1e-6, "dp")
+    assert len(got2) == 2 and len(got2[0]) == 6 and len(got2[1]) == 5
+
+    # outer ring is NEVER dropped, even when it degenerates
+    got3 = run(1e9, "dp")
+    assert len(got3) == 1 and len(got3[0]) == 2
+
+    # radial + visvalingam modes drop the degenerate hole the same way
+    for m in ("radial", "visvalingam"):
+        gm = run(5.0 if m == "radial" else 1.0, m)
+        assert [r[-1] for r in gm] == [r[0] for r in gm]  # closure kept
+        assert len(gm) == 1

