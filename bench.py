@@ -324,6 +324,7 @@ def one_run(
     from xgeo_spark.session import get_spark
 
     sf = _sf_of(sf_dir)
+    _cal_before, _cal_finalize = host_calibration_block()
     spark = get_spark("xgeo_bench", parallelism=cpus, shuffle_partitions=cpus)
     workdir = tempfile.mkdtemp(prefix=f"xgeo_bench_{cpus}_")
     try:
@@ -359,10 +360,59 @@ def one_run(
         "sf": sf,
         "cpus": cpus,
         "cdc": cdc,
+        "host_calibration": _cal_finalize(),
     }
     if skew_res is not None:
         out["skew"] = skew_res
     return out
+
+
+# Single-core busy-loop score of THIS VM class measured on an idle host at
+# round-5 HEAD (median of 5; see _host_snapshot). Every artifact embeds the
+# live score next to this pin, so a future reader can normalize without any
+# out-of-band context: this box's deliverable CPU drifts several-fold with
+# co-tenancy (documented in BASELINE.md), and round 4 showed the cost of
+# artifacts that don't carry their own denominator (driver re-run read a
+# uniform ~1.3x slower than the committed run on the SAME head).
+HOST_REF_MOPS = 13.4
+
+
+def _host_snapshot(burn_n: int = 30_000_000, bw_secs: float = 1.5) -> dict:
+    """Pinned single-core busy loop + short parallel-copy bandwidth probe.
+    Embedded before AND after every bench run (a few seconds total) so the
+    artifact is self-calibrating."""
+    t0 = time.perf_counter()
+    _burn(burn_n)
+    cpu = burn_n / (time.perf_counter() - t0) / 1e6
+    return {
+        "cpu_mops": round(cpu, 2),
+        "mem_bw_gbps_4w": host_mem_bandwidth(4, bw_secs),
+    }
+
+
+def host_calibration_block() -> tuple[dict, "function"]:
+    """Returns (before-snapshot, finalize) — call finalize() after the
+    bench to get the full host_calibration dict, including the regression
+    rule any future comparison should apply."""
+    before = _host_snapshot()
+
+    def finalize() -> dict:
+        after = _host_snapshot()
+        live = (before["cpu_mops"] + after["cpu_mops"]) / 2.0
+        return {
+            "before": before,
+            "after": after,
+            "ref_cpu_mops": HOST_REF_MOPS,
+            "cpu_vs_ref": round(live / HOST_REF_MOPS, 3),
+            "regression_rule": (
+                "compare seconds as wall_s * cpu_vs_ref (and throughput as "
+                "value / cpu_vs_ref) across artifacts; flag a query only if "
+                "the NORMALIZED number regresses >2x — raw deltas tracking "
+                "cpu_vs_ref are host drift, not plan changes"
+            ),
+        }
+
+    return before, finalize
 
 
 def host_cpu_calibration(n_lo: int = 4, n_hi: int = 16) -> float:

@@ -150,3 +150,26 @@ def test_maintenance_does_not_require_feed_dir():
     # ingest without a feed is still rejected (exercised in main())
     rc = main(["--lake-dir", "/l", "--mode", "batch"])
     assert rc == 2
+
+
+def test_cli_background_major_end_to_end(spark, tmp_path, capsys):
+    """--background-major: majors move to the concurrent compactor thread;
+    final state still matches the oracle and the compactor stats line is
+    emitted at shutdown."""
+    cfg = ChangeStreamConfig(n_events=4000, n_convs=60, seed=11, n_files=4)
+    feed = str(tmp_path / "feed")
+    write_change_stream(feed, cfg)
+    lake = str(tmp_path / "lake")
+
+    rc = main([
+        "--feed-dir", feed, "--lake-dir", lake, "--mode", "batch",
+        "--files-per-batch", "1", "--n-buckets", "4",
+        "--background-major",
+    ])
+    assert rc == 0
+    lines = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    comp = [ln for ln in lines if "compactor" in ln]
+    assert len(comp) == 1 and comp[0]["compactor"]["majors"] >= 0
+    summary = [ln for ln in lines if "rows" in ln][-1]
+    expected = lww_oracle(generate_change_events(cfg))
+    assert summary["rows"] == len(expected)

@@ -329,6 +329,16 @@ def main():
         "worst_over_median": round(
             max(b["wall_s"] for b in batches)
             / statistics.median(b["wall_s"] for b in batches), 2),
+        # steady-state view: the first compact_threshold+2 batches carry
+        # the one-time costs (JIT/codegen warmup and the FIRST minor fold,
+        # which builds every bucket's initial base from scratch); both
+        # views are reported, nothing excluded silently
+        "steady_state": (lambda ss: {
+            "from_batch": 10,
+            "batch_wall_median_s": round(statistics.median(ss), 3),
+            "batch_wall_worst_s": round(max(ss), 3),
+            "worst_over_median": round(max(ss) / statistics.median(ss), 2),
+        })([b["wall_s"] for b in batches[10:]]) if n > 20 else None,
         "deciles": deciles,
         "last_over_first_sum": round(
             deciles[-1]["ev_s_sum"] / deciles[0]["ev_s_sum"], 3),

@@ -61,6 +61,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "filter older events (see bootstrap_snapshot)")
     p.add_argument("--continuous", action="store_true",
                    help="stream mode: keep tailing instead of availableNow-and-exit")
+    p.add_argument("--background-major", action="store_true",
+                   help="run MAJOR compactions on a concurrent maintenance "
+                        "thread (optimistic-commit rebase) instead of "
+                        "inline in the ingest loop — ingest pauses drop to "
+                        "the O(delta window) minor fold; compactor stats "
+                        "print as one JSON line at shutdown")
     p.add_argument("--local-cores", type=int, default=None,
                    help="pin local[N] master (tests/bench); omit under spark-submit on a cluster")
     return p
@@ -113,6 +119,7 @@ def main(argv: list[str] | None = None) -> int:
             lineage=args.lineage_dir is not None,
             quarantine_dir=args.quarantine_dir,
             enable_patches=args.enable_patches,
+            background_major=args.background_major,
             # reliable-checkpoint root for iterative operators on this
             # session (components fixpoint rounds) — a subdir so it can't
             # collide with Structured Streaming's offsets/commits layout
@@ -124,21 +131,40 @@ def main(argv: list[str] | None = None) -> int:
         ),
     )
 
-    if args.mode == "batch":
-        # batch ids derive from file position (chunk i -> batch i), so a
-        # re-run over the same feed dir re-presents identical batch ids and
-        # the sink's idempotency check skips everything already committed —
-        # keep files_per_batch stable across re-runs of the same lake
-        stats = pipe.run_batch_replay(
-            files_per_batch=args.files_per_batch, min_lsn=args.min_lsn
-        )
-        for s in stats:
-            print(json.dumps(s.as_row()))
-    else:
-        pipe.run_stream(
-            checkpoint_dir=args.checkpoint_dir,
-            available_now=not args.continuous,
-        )
+    compactor = None
+    if args.background_major:
+        from xgeo_spark.streaming.compactor import BackgroundCompactor
+
+        # own table instance: races ingest through the filesystem commit
+        # protocol, exactly as a separate maintenance process would
+        compactor = BackgroundCompactor(
+            ParquetLakeTable(spark, args.lake_dir)
+        ).start()
+    try:
+        if args.mode == "batch":
+            # batch ids derive from file position (chunk i -> batch i), so a
+            # re-run over the same feed dir re-presents identical batch ids
+            # and the sink's idempotency check skips everything already
+            # committed — keep files_per_batch stable across re-runs of the
+            # same lake
+            stats = pipe.run_batch_replay(
+                files_per_batch=args.files_per_batch, min_lsn=args.min_lsn
+            )
+            for s in stats:
+                print(json.dumps(s.as_row()))
+        else:
+            pipe.run_stream(
+                checkpoint_dir=args.checkpoint_dir,
+                available_now=not args.continuous,
+            )
+    finally:
+        if compactor is not None:
+            cs = compactor.stop(drain=True)
+            print(json.dumps({
+                "compactor": {"majors": cs.majors,
+                              "buckets_rewritten": cs.buckets_rewritten,
+                              "conflicts_recomputed": cs.conflicts_recomputed}
+            }))
     print(json.dumps({"final_version": table.current_version(),
                       "rows": table.read().count()}))
     return 0

@@ -108,6 +108,17 @@ class BackgroundCompactor:
     # ---------- thread lifecycle ----------
 
     def _loop(self) -> None:
+        # all compaction jobs ride the low-weight "maintenance" scheduler
+        # pool (xgeo_spark/conf/fairscheduler.xml via session.py): under
+        # FAIR mode an in-flight major shares task slots with ingest at
+        # 1:4 instead of parking ingest behind it FIFO. Thread-local, so
+        # only this thread's jobs are tagged.
+        try:
+            self.table.spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", "maintenance"
+            )
+        except Exception:  # noqa: BLE001 — scheduling is best-effort
+            pass
         while not self._stop.is_set():
             try:
                 if self.run_once() == 0:
